@@ -1,0 +1,24 @@
+"""multistark_tpu — a TPU-native multi-circuit STARK proving library.
+
+A from-scratch JAX/XLA/Pallas implementation with the capabilities of the
+reference Rust crate `multi-stark` (see /root/reference): prove and verify
+multiple AIR circuits in a single proof, with independent trace heights,
+cross-circuit logUp lookup arguments, preprocessed (fixed) tables committed
+at setup, genericity over field/hash/PCS, proof serialization, and sparse
+activation. Not zero-knowledge (reference README.md:45-48).
+
+Architecture (TPU-first, not a port):
+  - field arithmetic on device as uint32 limb planes (structure-of-arrays),
+    whole-trace vectorized; the row dimension is the vector lane
+    (reference uses CPU SIMD packing, src/eval.rs:67-106 — we instead
+    compile the constraint graph to one XLA program over entire columns)
+  - NTT/LDE as batched radix-2 stages over column-major matrices
+  - Blake3 / Poseidon2 Merkle hashing batched over all leaves at once
+  - Fiat-Shamir transcript on host (tiny, serial), device work in 5 big
+    jitted stages mirroring reference src/prover.rs:289-603
+  - multi-chip scaling via jax.sharding.Mesh + shard_map (row-axis sharding)
+"""
+
+__version__ = "0.1.0"
+
+from .config import CommitmentParameters, FriParameters  # noqa: F401

@@ -1,0 +1,88 @@
+"""Small device-side numeric utilities shared across layers."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bit_reverse_indices(log_n: int) -> np.ndarray:
+    """Permutation i -> reverse_bits(i, log_n) as a uint32 numpy array
+    (host-precomputed; equivalent of p3-util reverse_bits_len)."""
+    n = 1 << log_n
+    idx = np.arange(n, dtype=np.uint64)
+    rev = np.zeros_like(idx)
+    for b in range(log_n):
+        rev |= ((idx >> np.uint64(b)) & np.uint64(1)) << np.uint64(log_n - 1 - b)
+    return rev.astype(np.int32)
+
+
+def reverse_bits(i: int, bits: int) -> int:
+    return int(f"{i:0{bits}b}"[::-1], 2) if bits else 0
+
+
+def batch_inv(ops, x, axis: int = -1):
+    """Montgomery-trick batch inverse along ``axis`` via two associative scans
+    (log-depth on device) + one Fermat inverse.  Zero entries map to zero,
+    matching p3_field::batch_multiplicative_inverse semantics (used at
+    reference src/lookup.rs:501)."""
+    is_zero = ops.is_zero(x)
+    one = _ones_like(ops, x)
+    safe = ops.select(is_zero, one, x)
+
+    moved = jax.tree.map(lambda a: jnp.moveaxis(a, axis, 0), safe)
+    prefix = jax.lax.associative_scan(ops.mul, moved, axis=0)          # P_i = x0..xi
+    suffix = jax.lax.associative_scan(ops.mul, moved, axis=0, reverse=True)  # S_i = xi..x_{n-1}
+    total = jax.tree.map(lambda a: a[-1:], prefix)
+    total_inv = ops.inv(total)
+
+    # out_i = P_{i-1} * S_{i+1} * total_inv
+    def shift_down(a):  # P_{i-1}: drop last, prepend identity
+        return a[:-1]
+
+    def shift_up(a):  # S_{i+1}: drop first, append identity
+        return a[1:]
+
+    p_prev = _concat(ops, _ones_like_slice(ops, moved), jax.tree.map(shift_down, prefix))
+    s_next = _concat(ops, jax.tree.map(shift_up, suffix), _ones_like_slice(ops, moved))
+    out = ops.mul(ops.mul(p_prev, s_next), _broadcast_leading(total_inv, p_prev))
+    out = jax.tree.map(lambda a: jnp.moveaxis(a, 0, axis), out)
+    return ops.select(is_zero, _zeros_like(ops, x), out)
+
+
+def _ones_like(ops, x):
+    shape = jax.tree.leaves(x)[0].shape
+    if hasattr(ops, "D"):
+        return ops.from_base(ops.base.const(1, shape))
+    return ops.const(1, shape)
+
+
+def _zeros_like(ops, x):
+    shape = jax.tree.leaves(x)[0].shape
+    return ops.zeros(shape)
+
+
+def _ones_like_slice(ops, moved):
+    shape = (1,) + jax.tree.leaves(moved)[0].shape[1:]
+    if hasattr(ops, "D"):
+        return ops.from_base(ops.base.const(1, shape))
+    return ops.const(1, shape)
+
+
+def _concat(ops, a, b):
+    return jax.tree.map(lambda x, y: jnp.concatenate([x, y], axis=0), a, b)
+
+
+def _broadcast_leading(total_inv, like):
+    n = jax.tree.leaves(like)[0].shape[0]
+    return jax.tree.map(lambda a: jnp.broadcast_to(a, (n,) + a.shape[1:]), total_inv)
+
+
+def cumsum(ops, x, axis: int = -1):
+    """Inclusive modular cumulative sum along ``axis`` (log-depth scan).
+    Used for the logUp accumulator chain (reference src/lookup.rs:472-555
+    threads it serially; we restructure as a parallel prefix sum)."""
+    moved = jax.tree.map(lambda a: jnp.moveaxis(a, axis, 0), x)
+    acc = jax.lax.associative_scan(ops.add, moved, axis=0)
+    return jax.tree.map(lambda a: jnp.moveaxis(a, 0, axis), acc)

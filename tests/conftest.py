@@ -1,0 +1,13 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so
+multi-chip sharding is exercised without TPU hardware (SURVEY.md §4: tests
+runnable on a single host via xla_force_host_platform_device_count)."""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
