@@ -1,0 +1,213 @@
+"""Batched radix-2 NTT / low-degree extension on device.
+
+TPU-native replacement for p3-dft's Radix2DitParallel (reference
+src/types.rs:200, used throughout src/prover.rs) — but instead of a per-core
+parallel DIT, every butterfly stage is one whole-array XLA op over a
+column-major matrix of polynomials; the polynomial-evaluation dimension is
+the TPU vector lane.
+
+Layout conventions (these ARE the protocol's storage conventions —
+reference src/prover.rs:681-717 depends on them):
+
+  - matrices are field arrays of shape (width, n): row w = polynomial w
+  - committed LDEs are stored in *bit-reversed* row order so that FRI fold
+    partners (x, -x) are adjacent and share a Merkle path
+  - forward DIF maps natural coefficients -> bit-reversed evaluations with
+    no explicit permutation; inverse DIF maps natural evaluations ->
+    bit-reversed coefficients; DIT does the reverse-ordered counterparts
+
+The restriction of a stored LDE to a sub-coset of the same shift is the
+*prefix* of the bit-reversed storage (see `prefix_to_natural`) — the fused
+"slice a prefix instead of re-evaluating" trick the reference builds its
+quotient commit path on (src/prover.rs:606-717).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import npref
+from ..fields.host import HostField
+from ..utils import bit_reverse_indices
+
+
+def _np_field_fns(host: HostField):
+    if host.name == "Goldilocks":
+        return npref.gl_mul, npref.gl_pow
+    if host.name == "BabyBear":
+        return npref.bb_mul, npref.bb_pow
+    raise KeyError(host.name)
+
+
+def np_powers(host: HostField, base: int, n: int) -> np.ndarray:
+    """[1, base, base^2, ..., base^(n-1)] as uint64 (host precompute,
+    O(log n) vectorized doubling passes)."""
+    mul, _ = _np_field_fns(host)
+    out = np.ones(1, np.uint64)
+    cur = np.uint64(base % host.p)
+    while len(out) < n:
+        out = np.concatenate([out, mul(out, cur)])
+        cur = mul(cur, cur)
+    return out[:n]
+
+
+class NttEngine:
+    """Twiddle caches + NTT kernels for one base field (device ops `F`)."""
+
+    def __init__(self, F):
+        self.F = F
+        self.host: HostField = F.host
+        self._tw: Dict[Tuple[int, bool], list] = {}
+        self._brev: Dict[int, jnp.ndarray] = {}
+        self._powcache: Dict[Tuple[int, int], object] = {}
+
+    # -- caches -----------------------------------------------------------
+    def _twiddles(self, log_n: int, inverse: bool) -> list:
+        """Per-stage twiddle tables: stage s (1-indexed, block size m=2^s)
+        holds [w_m^0 .. w_m^(m/2-1)] where w_m = g^(n/m)."""
+        key = (log_n, inverse)
+        if key not in self._tw:
+            g = self.host.two_adic_generator(log_n)
+            if inverse:
+                g = self.host.inv(g)
+            stages = []
+            for s in range(1, log_n + 1):
+                half = 1 << (s - 1)
+                w_m = self.host.pow(g, 1 << (log_n - s))
+                stages.append(self.F.from_np(np_powers(self.host, w_m, half)))
+            self._tw[key] = stages
+        return self._tw[key]
+
+    def brev(self, log_n: int) -> jnp.ndarray:
+        if log_n not in self._brev:
+            self._brev[log_n] = jnp.asarray(bit_reverse_indices(log_n))
+        return self._brev[log_n]
+
+    def pow_table(self, base: int, n: int):
+        key = (base % self.host.p, n)
+        if key not in self._powcache:
+            self._powcache[key] = self.F.from_np(np_powers(self.host, base, n))
+        return self._powcache[key]
+
+    # -- core butterfly passes -------------------------------------------
+    def _dit(self, x, log_n: int, inverse: bool):
+        """DIT stages: bit-reversed input -> natural output."""
+        F = self.F
+        tw = self._twiddles(log_n, inverse)
+        n = 1 << log_n
+        lead = jax.tree.leaves(x)[0].shape[:-1]
+        for s in range(1, log_n + 1):
+            m = 1 << s
+            half = m >> 1
+            xr = jax.tree.map(lambda a: a.reshape(lead + (n // m, m)), x)
+            a = jax.tree.map(lambda v: v[..., :half], xr)
+            b = jax.tree.map(lambda v: v[..., half:], xr)
+            t = F.mul(b, tw[s - 1])
+            lo = F.add(a, t)
+            hi = F.sub(a, t)
+            x = jax.tree.map(
+                lambda p, q: jnp.concatenate([p, q], axis=-1).reshape(lead + (n,)), lo, hi
+            )
+        return x
+
+    def _dif(self, x, log_n: int, inverse: bool):
+        """DIF stages: natural input -> bit-reversed output."""
+        F = self.F
+        tw = self._twiddles(log_n, inverse)
+        n = 1 << log_n
+        lead = jax.tree.leaves(x)[0].shape[:-1]
+        for s in range(log_n, 0, -1):
+            m = 1 << s
+            half = m >> 1
+            xr = jax.tree.map(lambda a: a.reshape(lead + (n // m, m)), x)
+            a = jax.tree.map(lambda v: v[..., :half], xr)
+            b = jax.tree.map(lambda v: v[..., half:], xr)
+            lo = F.add(a, b)
+            hi = F.mul(F.sub(a, b), tw[s - 1])
+            x = jax.tree.map(
+                lambda p, q: jnp.concatenate([p, q], axis=-1).reshape(lead + (n,)), lo, hi
+            )
+        return x
+
+    def _scale(self, x, c: int):
+        shape = jax.tree.leaves(x)[0].shape
+        return self.F.mul(x, self.F.const(c, ()))
+
+    def _unbrev(self, x, log_n: int):
+        idx = self.brev(log_n)
+        return jax.tree.map(lambda a: a[..., idx], x)
+
+    # -- public transforms (all pure; callers jit around them) -----------
+    def dft_natural(self, coeffs, log_n: int):
+        """natural coeffs -> natural evals on the subgroup H."""
+        return self._dit(self._unbrev(coeffs, log_n), log_n, inverse=False)
+
+    def idft_natural(self, evals, log_n: int):
+        """natural evals on H -> natural coeffs."""
+        out = self._dit(self._unbrev(evals, log_n), log_n, inverse=True)
+        return self._scale(out, self.host.inv(1 << log_n))
+
+    def coset_eval_bitrev(self, coeffs_natural, log_n: int, shift: int):
+        """natural coeffs -> evals on shift·H in bit-reversed order."""
+        c = self.F.mul(coeffs_natural, self.pow_table(shift, 1 << log_n))
+        return self._dif(c, log_n, inverse=False)
+
+    def icoset_from_natural(self, evals_natural, log_n: int, shift: int):
+        """natural evals on shift·H -> natural coeffs."""
+        out = self._dit(self._unbrev(evals_natural, log_n), log_n, inverse=True)
+        out = self._scale(out, self.host.inv(1 << log_n))
+        return self.F.mul(out, self.pow_table(self.host.inv(shift), 1 << log_n))
+
+    def coset_lde_bitrev(self, evals_natural, log_n: int, log_blowup: int, shift: int):
+        """Evals on the natural subgroup H_n -> evals on shift·H_N
+        (N = n·2^log_blowup), bit-reversed rows: the commit transform
+        (p3 coset_lde_batch + bit_reverse_rows, reference src/prover.rs:650)."""
+        F = self.F
+        n = 1 << log_n
+        big = log_n + log_blowup
+        # iDFT (natural->bitrev coeffs via DIF), un-bitrev the SMALL array
+        cb = self._dif(evals_natural, log_n, inverse=True)
+        coeffs = self._scale(self._unbrev(cb, log_n), self.host.inv(n))
+        coeffs = F.mul(coeffs, self.pow_table(shift, n))
+        pad = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros(a.shape[:-1] + ((1 << big) - n,), a.dtype)], axis=-1
+            ),
+            coeffs,
+        )
+        return self._dif(pad, big, inverse=False)
+
+    def lde_bitrev_from_coeffs(self, coeffs_natural, log_big: int):
+        """Zero-extend natural coefficients to 2^log_big and evaluate on the
+        *unshifted* big subgroup, bit-reversed (callers bake any coset shift
+        into the coefficients — the fused quotient commit path, reference
+        src/prover.rs:681-717)."""
+        n = jax.tree.leaves(coeffs_natural)[0].shape[-1]
+        pad = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros(a.shape[:-1] + ((1 << log_big) - n,), a.dtype)], axis=-1
+            ),
+            coeffs_natural,
+        )
+        return self._dif(pad, log_big, inverse=False)
+
+    def prefix_to_natural(self, lde_bitrev, log_sub: int):
+        """First 2^log_sub entries of a bit-reversed LDE = the same-shift
+        sub-coset in bit-reversed order; un-reverse to natural order.
+        (The 'evaluations on domain are a stored prefix' identity the
+        reference exploits at src/prover.rs:606-679.)"""
+        pre = jax.tree.map(lambda a: a[..., : 1 << log_sub], lde_bitrev)
+        return self._unbrev(pre, log_sub)
+
+
+_ENGINES: Dict[str, NttEngine] = {}
+
+
+def get_engine(F) -> NttEngine:
+    if F.name not in _ENGINES:
+        _ENGINES[F.name] = NttEngine(F)
+    return _ENGINES[F.name]
