@@ -1,0 +1,274 @@
+"""BLAKE3 — host (pure Python, transcript-sized inputs) and device (JAX,
+batched over thousands of Merkle leaves/nodes per call).
+
+TPU-native equivalent of p3-blake3 + the serializing hasher conventions
+(reference src/types.rs:9, 199-207): field rows are serialized as u64
+little-endian words, hashed with the *full* BLAKE3 algorithm (chunk tree and
+all — rows wider than 1024 bytes, e.g. the reference's 2625-column Blake3
+compression circuit, span multiple chunks), and Merkle 2-to-1 compression is
+blake3(left || right) of 64 bytes.
+
+Both implementations are written from the public BLAKE3 spec; the host one
+is pinned against the spec's empty-input digest in tests and the device one
+against the host one.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IV = (
+    0x6A09E667, 0xBB67AE85, 0x3C6EF372, 0xA54FF53A,
+    0x510E527F, 0x9B05688C, 0x1F83D9AB, 0x5BE0CD19,
+)
+MSG_PERM = (2, 6, 3, 10, 7, 0, 4, 13, 1, 11, 12, 5, 9, 14, 15, 8)
+
+CHUNK_START = 1 << 0
+CHUNK_END = 1 << 1
+PARENT = 1 << 2
+ROOT = 1 << 3
+
+CHUNK_LEN = 1024
+BLOCK_LEN = 64
+
+_M32 = 0xFFFFFFFF
+
+
+# --- host implementation -----------------------------------------------------
+
+def _rotr(x: int, n: int) -> int:
+    return ((x >> n) | (x << (32 - n))) & _M32
+
+
+def _g(st: List[int], a: int, b: int, c: int, d: int, mx: int, my: int) -> None:
+    st[a] = (st[a] + st[b] + mx) & _M32
+    st[d] = _rotr(st[d] ^ st[a], 16)
+    st[c] = (st[c] + st[d]) & _M32
+    st[b] = _rotr(st[b] ^ st[c], 12)
+    st[a] = (st[a] + st[b] + my) & _M32
+    st[d] = _rotr(st[d] ^ st[a], 8)
+    st[c] = (st[c] + st[d]) & _M32
+    st[b] = _rotr(st[b] ^ st[c], 7)
+
+
+def compress(cv: Sequence[int], block: Sequence[int], counter: int, block_len: int, flags: int) -> List[int]:
+    """One BLAKE3 compression; returns the full 16-word output state."""
+    st = list(cv[:8]) + list(IV[:4]) + [
+        counter & _M32, (counter >> 32) & _M32, block_len, flags,
+    ]
+    m = list(block)
+    for _ in range(7):
+        _g(st, 0, 4, 8, 12, m[0], m[1])
+        _g(st, 1, 5, 9, 13, m[2], m[3])
+        _g(st, 2, 6, 10, 14, m[4], m[5])
+        _g(st, 3, 7, 11, 15, m[6], m[7])
+        _g(st, 0, 5, 10, 15, m[8], m[9])
+        _g(st, 1, 6, 11, 12, m[10], m[11])
+        _g(st, 2, 7, 8, 13, m[12], m[13])
+        _g(st, 3, 4, 9, 14, m[14], m[15])
+        m = [m[p] for p in MSG_PERM]
+    return [st[i] ^ st[i + 8] for i in range(8)] + [st[i + 8] ^ cv[i] for i in range(8)]
+
+
+def _words_of(block: bytes) -> List[int]:
+    block = block + b"\x00" * (BLOCK_LEN - len(block))
+    return [int.from_bytes(block[4 * i : 4 * i + 4], "little") for i in range(16)]
+
+
+def _chunk_cv(chunk: bytes, counter: int, root: bool) -> List[int]:
+    cv = list(IV)
+    n_blocks = max(1, (len(chunk) + BLOCK_LEN - 1) // BLOCK_LEN)
+    for b in range(n_blocks):
+        data = chunk[b * BLOCK_LEN : (b + 1) * BLOCK_LEN]
+        flags = 0
+        if b == 0:
+            flags |= CHUNK_START
+        if b == n_blocks - 1:
+            flags |= CHUNK_END
+            if root:
+                flags |= ROOT
+        cv = compress(cv, _words_of(data), counter, len(data), flags)[:8]
+    return cv
+
+
+def _left_len(n_chunks: int) -> int:
+    """Largest power-of-two number of chunks strictly less than the total."""
+    p = 1
+    while p * 2 < n_chunks:
+        p *= 2
+    return p
+
+
+def _subtree_cv(data: bytes, counter0: int) -> List[int]:
+    n_chunks = (len(data) + CHUNK_LEN - 1) // CHUNK_LEN
+    if n_chunks == 1:
+        return _chunk_cv(data, counter0, root=False)
+    split = _left_len(n_chunks) * CHUNK_LEN
+    left = _subtree_cv(data[:split], counter0)
+    right = _subtree_cv(data[split:], counter0 + split // CHUNK_LEN)
+    return compress(IV, left + right, 0, BLOCK_LEN, PARENT)[:8]
+
+
+def blake3_hash(data: bytes) -> bytes:
+    """Full BLAKE3 hash, 32-byte output."""
+    n_chunks = max(1, (len(data) + CHUNK_LEN - 1) // CHUNK_LEN)
+    if n_chunks == 1:
+        cv = _chunk_cv(data, 0, root=True)
+    else:
+        split = _left_len(n_chunks) * CHUNK_LEN
+        left = _subtree_cv(data[:split], 0)
+        right = _subtree_cv(data[split:], split // CHUNK_LEN)
+        cv = compress(IV, left + right, 0, BLOCK_LEN, PARENT | ROOT)[:8]
+    return b"".join(w.to_bytes(4, "little") for w in cv)
+
+
+def blake3_compress_pair(left: bytes, right: bytes) -> bytes:
+    """Merkle 2-to-1 compression = blake3 of the 64-byte concatenation
+    (p3 CompressionFunctionFromHasher<Blake3, 2, 32>, src/types.rs:202-207)."""
+    return blake3_hash(left + right)
+
+
+# --- device implementation ---------------------------------------------------
+
+u32 = jnp.uint32
+
+
+def _drotr(x, n):
+    return (x >> n) | (x << (32 - n))
+
+
+def _dg(st, a, b, c, d, mx, my):
+    st[a] = st[a] + st[b] + mx
+    st[d] = _drotr(st[d] ^ st[a], 16)
+    st[c] = st[c] + st[d]
+    st[b] = _drotr(st[b] ^ st[c], 12)
+    st[a] = st[a] + st[b] + my
+    st[d] = _drotr(st[d] ^ st[a], 8)
+    st[c] = st[c] + st[d]
+    st[b] = _drotr(st[b] ^ st[c], 7)
+
+
+def compress_batch(cv, block, counter_lo, counter_hi, block_len, flags):
+    """Batched compression.  cv: list of 8 u32 arrays; block: list of 16;
+    counter/block_len/flags: scalars or broadcastable u32 arrays.
+    Returns the 8-word output chaining value (list of arrays)."""
+    z = jnp.zeros_like(cv[0])
+    st = list(cv) + [
+        z + np.uint32(IV[0]), z + np.uint32(IV[1]), z + np.uint32(IV[2]), z + np.uint32(IV[3]),
+        z + counter_lo, z + counter_hi, z + block_len, z + flags,
+    ]
+    m = list(block)
+    for _ in range(7):
+        _dg(st, 0, 4, 8, 12, m[0], m[1])
+        _dg(st, 1, 5, 9, 13, m[2], m[3])
+        _dg(st, 2, 6, 10, 14, m[4], m[5])
+        _dg(st, 3, 7, 11, 15, m[6], m[7])
+        _dg(st, 0, 5, 10, 15, m[8], m[9])
+        _dg(st, 1, 6, 11, 12, m[10], m[11])
+        _dg(st, 2, 7, 8, 13, m[12], m[13])
+        _dg(st, 3, 4, 9, 14, m[14], m[15])
+        m = [m[p] for p in MSG_PERM]
+    return [st[i] ^ st[i + 8] for i in range(8)]
+
+
+class Blake3Device:
+    """Batched full-BLAKE3 of fixed-length inputs.
+
+    Inputs are u32-word streams (all byte lengths in this library are
+    multiples of 4: u64-serialized field rows and 32-byte digests).
+    """
+
+    @staticmethod
+    def hash_words(words: jnp.ndarray) -> jnp.ndarray:
+        """words: (B, W) uint32 (the W*4-byte message for each lane).
+        Returns digests (B, 8) uint32."""
+        B, W = words.shape
+        n_bytes = W * 4
+        n_chunks = max(1, (n_bytes + CHUNK_LEN - 1) // CHUNK_LEN)
+        if n_chunks == 1:
+            return Blake3Device._hash_single_chunk(words, n_bytes, root=True)
+        # pad to whole chunks, view as (B, n_chunks, 256 words)
+        pad_w = n_chunks * 256 - W
+        padded = jnp.concatenate([words, jnp.zeros((B, pad_w), u32)], axis=1)
+        chunks = padded.reshape(B, n_chunks, 256)
+        chunk_bytes = [min(CHUNK_LEN, n_bytes - c * CHUNK_LEN) for c in range(n_chunks)]
+        cvs = []  # per-chunk cv: list of 8 arrays (B,)
+        for c in range(n_chunks):
+            cvs.append(
+                Blake3Device._hash_single_chunk(
+                    chunks[:, c, :], chunk_bytes[c], root=False, counter=c
+                )
+            )
+        digests = [[cv[i] for i in range(8)] for cv in cvs]
+        root_cv = Blake3Device._tree(digests, is_root=True)
+        return jnp.stack(root_cv, axis=1)
+
+    @staticmethod
+    def _hash_single_chunk(words, n_bytes: int, root: bool, counter: int = 0):
+        """words: (B, 256) (or (B, <=256)); returns cv as (B,8) array if root
+        chunk of a 1-chunk hash, else list of 8 arrays."""
+        B = words.shape[0]
+        n_blocks = max(1, (n_bytes + BLOCK_LEN - 1) // BLOCK_LEN)
+        if words.shape[1] < n_blocks * 16:
+            words = jnp.concatenate(
+                [words, jnp.zeros((B, n_blocks * 16 - words.shape[1]), u32)], axis=1
+            )
+        cv = [jnp.full((B,), np.uint32(IV[i]), u32) for i in range(8)]
+        for b in range(n_blocks):
+            block = [words[:, 16 * b + i] for i in range(16)]
+            flags = 0
+            blen = min(BLOCK_LEN, n_bytes - b * BLOCK_LEN)
+            if b == 0:
+                flags |= CHUNK_START
+            if b == n_blocks - 1:
+                flags |= CHUNK_END
+                if root:
+                    flags |= ROOT
+            cv = compress_batch(
+                cv, block, np.uint32(counter & _M32), np.uint32(counter >> 32),
+                np.uint32(blen), np.uint32(flags),
+            )
+        if root:
+            return jnp.stack(cv, axis=1)
+        return cv
+
+    @staticmethod
+    def _tree(cvs: list, is_root: bool):
+        """Combine per-chunk CVs (list over chunks of list of 8 arrays) with
+        the left-largest-power-of-two split rule."""
+        n = len(cvs)
+        if n == 1:
+            return cvs[0]
+        split = _left_len(n)
+        left = Blake3Device._tree(cvs[:split], is_root=False)
+        right = Blake3Device._tree(cvs[split:], is_root=False)
+        block = left + right
+        cv = [jnp.full_like(block[0], np.uint32(IV[i])) for i in range(8)]
+        flags = PARENT | (ROOT if is_root else 0)
+        return compress_batch(
+            cv, block, np.uint32(0), np.uint32(0), np.uint32(BLOCK_LEN), np.uint32(flags)
+        )
+
+    @staticmethod
+    def compress_pairs(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
+        """Merkle 2-to-1: blake3(left||right) for (B, 8)+(B, 8) -> (B, 8)."""
+        block = [left[:, i] for i in range(8)] + [right[:, i] for i in range(8)]
+        cv = [jnp.full((left.shape[0],), np.uint32(IV[i]), u32) for i in range(8)]
+        out = compress_batch(
+            cv, block, np.uint32(0), np.uint32(0), np.uint32(BLOCK_LEN),
+            np.uint32(CHUNK_START | CHUNK_END | ROOT),
+        )
+        return jnp.stack(out, axis=1)
+
+
+def digest_to_bytes(digest_row: np.ndarray) -> bytes:
+    """(8,) uint32 -> 32 bytes (little-endian words)."""
+    return b"".join(int(w).to_bytes(4, "little") for w in np.asarray(digest_row, np.uint32))
+
+
+def bytes_to_digest(b: bytes) -> np.ndarray:
+    return np.frombuffer(b, dtype="<u4").astype(np.uint32)
