@@ -1,0 +1,534 @@
+"""Two-adic FRI polynomial commitment scheme.
+
+TPU-native equivalent of p3-fri's TwoAdicFriPcs (reference src/types.rs:85,
+209-223; surface inventoried in SURVEY.md §2.2):
+
+  commit     : coset-LDE every matrix onto GENERATOR·H (blowup B), stored in
+               bit-reversed row order, Merkle-committed in one mixed-height
+               tree.  All NTT + hashing batched on device.
+  open       : batched multi-point opening.  Claimed evaluations are computed
+               by barycentric interpolation on the *small* (size-n) same-
+               shift sub-coset (a stored prefix); the FRI input ("reduced
+               opening") per LDE height H is
+                   ro_H(x) = sum α^{k} (p_j(x) - p_j(z)) / (x - z)
+               accumulated over (round, matrix, point, column) with a per-
+               height α-power counter.  Commit phase folds pairs (adjacent in
+               bit-reversed order = (x, -x)) with per-round β, committing the
+               pair matrix each round; query phase opens input trees and all
+               pair rows at challenger-sampled indices.
+  verify     : host-side transcript replay + per-query Merkle/fold checks.
+
+Transcript schedule (self-consistent; deviations from p3 are deliberate and
+documented): observe ALL claimed opened values -> sample α -> per fold round
+(observe cap, grind commit PoW, sample β) -> observe final poly -> grind
+query PoW -> sample query indices.  Claimed values are observed *before* α
+so an adversary cannot adapt claims to the batching challenge.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import CommitmentParameters, FriParameters
+from .domains import TwoAdicCoset
+from .errors import VerificationError, ensure
+from .fields import npref
+from .fields.host import HostExtField, HostField
+from .merkle import BatchOpening, MerkleMmcs, MerkleProverData
+from .ntt import get_engine
+from .ntt.ntt import np_powers
+from .utils import batch_inv, bit_reverse_indices, field_sum, reverse_bits
+
+ExtVal = Tuple[int, ...]  # host extension element
+
+
+@dataclass
+class PcsProverData:
+    mmcs_data: MerkleProverData
+    log_trace_heights: List[int]  # degree-bound exponent per matrix
+    log_blowup: int
+
+    @property
+    def log_max_lde(self) -> int:
+        return max(self.log_trace_heights) + self.log_blowup
+
+
+@dataclass
+class QueryProof:
+    input_openings: List[BatchOpening]  # one per round
+    commit_openings: List[Tuple[np.ndarray, np.ndarray]]  # (pair row u64 (2D,·), path)
+
+
+@dataclass
+class FriProof:
+    commit_caps: List[np.ndarray]
+    commit_pow_witnesses: List[int]
+    final_poly: List[ExtVal]
+    query_pow_witness: int
+    query_proofs: List[QueryProof]
+
+
+# round description for verify():
+#   (cap, [(log_trace_n, width, [(z, [values per column])])])
+VerifyRound = Tuple[np.ndarray, List[Tuple[int, int, List[Tuple[ExtVal, List[ExtVal]]]]]]
+
+
+class TwoAdicFriPcs:
+    def __init__(
+        self,
+        F,  # device FieldOps
+        E,  # device ExtOps over F
+        host_field: HostField,
+        host_ext: HostExtField,
+        hasher,
+        commitment_parameters: CommitmentParameters,
+        fri_parameters: FriParameters,
+    ):
+        assert fri_parameters.max_log_arity == 1, "only arity-2 folds implemented"
+        self.F = F
+        self.E = E
+        self.hf = host_field
+        self.he = host_ext
+        self.mmcs = MerkleMmcs(hasher, commitment_parameters.cap_height)
+        self.params = commitment_parameters
+        self.fri = fri_parameters
+        self.engine = get_engine(F)
+        self._x_storage: Dict[Tuple[int, int, bool], object] = {}
+
+    # -- domains ----------------------------------------------------------
+    @property
+    def log_blowup(self) -> int:
+        return self.params.log_blowup
+
+    def natural_domain_for_degree(self, degree: int) -> TwoAdicCoset:
+        assert degree & (degree - 1) == 0
+        return TwoAdicCoset(self.hf, degree.bit_length() - 1, 1)
+
+    # -- x tables ---------------------------------------------------------
+    def x_table_storage(self, log_n: int, shift: int, inverse: bool = False):
+        """Device base array of coset points shift·G^rev(i) in storage
+        (bit-reversed) order; optionally their inverses."""
+        key = (log_n, shift % self.hf.p, inverse)
+        if key not in self._x_storage:
+            if inverse:
+                g = self.hf.inv(self.hf.two_adic_generator(log_n))
+                s = self.hf.inv(shift)
+            else:
+                g = self.hf.two_adic_generator(log_n)
+                s = shift
+            mul = npref.gl_mul if self.hf.name == "Goldilocks" else npref.bb_mul
+            tab = mul(np_powers(self.hf, g, 1 << log_n), np.uint64(s))
+            tab = tab[bit_reverse_indices(log_n)]
+            self._x_storage[key] = self.F.from_np(tab)
+        return self._x_storage[key]
+
+    def host_x_at(self, log_n: int, shift: int, storage_index: int) -> int:
+        g = self.hf.two_adic_generator(log_n)
+        return self.hf.mul(shift, self.hf.pow(g, reverse_bits(storage_index, log_n)))
+
+    # -- commit -----------------------------------------------------------
+    def commit(self, domains_and_mats) -> Tuple[np.ndarray, PcsProverData]:
+        """domains_and_mats: [(TwoAdicCoset, natural-order evals (w, n))].
+        LDEs land on GENERATOR·H_{n·B}, bit-reversed (reference
+        src/prover.rs:336-350 commit path)."""
+        ldes = []
+        logs = []
+        for dom, mat in domains_and_mats:
+            shift = self.hf.mul(self.hf.generator, self.hf.inv(dom.shift))
+            ldes.append(self.engine.coset_lde_bitrev(mat, dom.log_n, self.log_blowup, shift))
+            logs.append(dom.log_n)
+        cap, mdata = self.mmcs.commit(ldes)
+        return cap, PcsProverData(mdata, logs, self.log_blowup)
+
+    def commit_from_coeffs(self, coeff_mats) -> Tuple[np.ndarray, PcsProverData]:
+        """coeff_mats: [(w, n) natural coefficient matrices].  Commits their
+        evals on GENERATOR·H_{n·B} directly from coefficients — the fused
+        quotient commit path (reference src/prover.rs:681-717 commit_ldes)."""
+        ldes = []
+        logs = []
+        for coeffs in coeff_mats:
+            n = jax.tree.leaves(coeffs)[0].shape[-1]
+            log_n = n.bit_length() - 1
+            shifted = self.F.mul(coeffs, self.engine.pow_table(self.hf.generator, n))
+            ldes.append(self.engine.lde_bitrev_from_coeffs(shifted, log_n + self.log_blowup))
+            logs.append(log_n)
+        cap, mdata = self.mmcs.commit(ldes)
+        return cap, PcsProverData(mdata, logs, self.log_blowup)
+
+    def get_evaluations_on_domain(self, data: PcsProverData, idx: int, domain: TwoAdicCoset):
+        """Natural-order evals of matrix `idx` on `domain` (must be the
+        GENERATOR-shifted sub-coset of the LDE): a stored prefix un-reversed
+        (reference src/prover.rs:606-679)."""
+        assert domain.shift == self.hf.generator
+        assert domain.log_n <= data.log_trace_heights[idx] + self.log_blowup
+        return self.engine.prefix_to_natural(data.mmcs_data.mats[idx], domain.log_n)
+
+    # -- open -------------------------------------------------------------
+    def open(self, rounds, challenger):
+        """rounds: [(PcsProverData, points_per_matrix: [[ExtVal]])].
+        Returns (opened_values[r][m][p] = [ExtVal per column], FriProof)."""
+        E, F, he, hf = self.E, self.F, self.he, self.hf
+
+        # -- Step A: claimed evaluations via small-domain barycentric
+        opened: List[List[List[List[ExtVal]]]] = []
+        for data, points_list in rounds:
+            round_vals: List[List[List[ExtVal]]] = []
+            for m_idx, points in enumerate(points_list):
+                mat = data.mmcs_data.mats[m_idx]
+                log_n = data.log_trace_heights[m_idx]
+                small = self.engine.prefix_to_natural(mat, log_n)  # (w, n) on GEN·H_n
+                mat_vals: List[List[ExtVal]] = []
+                for z in points:
+                    mat_vals.append(self._barycentric_eval(small, log_n, z))
+                round_vals.append(mat_vals)
+            opened.append(round_vals)
+
+        for round_vals in opened:
+            for mat_vals in round_vals:
+                for pt_vals in mat_vals:
+                    for v in pt_vals:
+                        challenger.observe_ext(v)
+
+        alpha = challenger.sample_ext()
+
+        # -- Step C: reduced openings per LDE height (device, bitrev order)
+        ro: Dict[int, object] = {}
+        offsets: Dict[int, int] = {}
+        for (data, points_list), round_vals in zip(rounds, opened):
+            for m_idx, points in enumerate(points_list):
+                if not points:
+                    continue
+                mat = data.mmcs_data.mats[m_idx]
+                w = data.mmcs_data.dims[m_idx][0]
+                log_lde = data.log_trace_heights[m_idx] + self.log_blowup
+                alpha_pows = self._host_ext_powers(alpha, w)
+                u = self._fold_columns(mat, alpha_pows)  # ext (N,)
+                x_tab = self.x_table_storage(log_lde, hf.generator)
+                off = offsets.get(log_lde, 0)
+                for p_idx, z in enumerate(points):
+                    s_claim = he.zero
+                    for j, v in enumerate(round_vals[m_idx][p_idx]):
+                        s_claim = he.add(s_claim, he.mul(alpha_pows[j], v))
+                    diff = self._ext_sub_base_array(z, x_tab)  # z - x (ext (N,))
+                    inv_diff = batch_inv(E, diff, axis=0)
+                    num = E.sub(u, E.const(s_claim, jax.tree.leaves(u)[0].shape))
+                    contrib = E.mul(E.mul(num, inv_diff), E.const(he.neg(self._ext_pow(alpha, off)), jax.tree.leaves(u)[0].shape))
+                    # note: ro convention (p(x)-p(z))/(x-z) = -(u-S)/(z-x)
+                    ro[log_lde] = contrib if log_lde not in ro else E.add(ro[log_lde], contrib)
+                    off += w
+                offsets[log_lde] = off
+
+        # -- Step D: FRI commit phase
+        log_max = max(data.log_max_lde for data, _ in rounds)  # query index range
+        log_max_ro = max(ro.keys())  # fold start (tallest matrix WITH openings)
+        log_final = self.log_blowup + self.fri.log_final_poly_len
+        current = ro[log_max_ro]
+        caps: List[np.ndarray] = []
+        commit_datas: List[MerkleProverData] = []
+        commit_pows: List[int] = []
+        betas: List[ExtVal] = []
+        log_size = log_max_ro
+        while log_size > log_final:
+            a = jax.tree.map(lambda t: t[0::2], current)
+            b = jax.tree.map(lambda t: t[1::2], current)
+            pair_mat = self._ext_pair_matrix(a, b)
+            cap, mdata = self.mmcs.commit([pair_mat])
+            caps.append(cap)
+            commit_datas.append(mdata)
+            challenger.observe_commitment(cap)
+            commit_pows.append(challenger.grind(self.fri.commit_proof_of_work_bits))
+            beta = challenger.sample_ext()
+            betas.append(beta)
+            shift_cur = self._shift_at(log_max_ro, log_size)
+            current = self._fold_pair(a, b, beta, log_size, shift_cur)
+            log_size -= 1
+            if log_size in ro:
+                current = E.add(current, ro[log_size])
+
+        final_poly = self._final_poly_host(current, log_size, log_max_ro)
+        for c in final_poly:
+            challenger.observe_ext(c)
+        query_pow = challenger.grind(self.fri.query_proof_of_work_bits)
+        indices = [challenger.sample_bits(log_max) for _ in range(self.fri.num_queries)]
+
+        # -- Step E: query proofs (batched gathers)
+        per_round_openings = []
+        for data, _ in rounds:
+            shift = log_max - data.log_max_lde
+            idxs = np.asarray([i >> shift for i in indices])
+            per_round_openings.append(self.mmcs.open_batch(data.mmcs_data, idxs))
+        per_level_openings = []
+        drop = log_max - log_max_ro
+        for l, mdata in enumerate(commit_datas):
+            idxs = np.asarray([(i >> (drop + l)) >> 1 for i in indices])
+            per_level_openings.append(self.mmcs.open_batch(mdata, idxs))
+
+        query_proofs = []
+        for qi in range(len(indices)):
+            commit_ops = [
+                (per_level_openings[l][qi].opened_rows[0], per_level_openings[l][qi].path)
+                for l in range(len(commit_datas))
+            ]
+            query_proofs.append(
+                QueryProof(
+                    input_openings=[pr[qi] for pr in per_round_openings],
+                    commit_openings=commit_ops,
+                )
+            )
+
+        proof = FriProof(
+            commit_caps=caps,
+            commit_pow_witnesses=commit_pows,
+            final_poly=final_poly,
+            query_pow_witness=query_pow,
+            query_proofs=query_proofs,
+        )
+        return opened, proof
+
+    # -- open helpers -----------------------------------------------------
+    def _barycentric_eval(self, small, log_n: int, z: ExtVal) -> List[ExtVal]:
+        """p_j(z) for all columns from natural-order evals on GEN·H_n:
+        p(z) = (z^n - s^n)/(n·s^n) · sum_i e_i·x_i/(z - x_i)."""
+        E, F, he, hf = self.E, self.F, self.he, self.hf
+        n = 1 << log_n
+        s = hf.generator
+        g = hf.two_adic_generator(log_n)
+        mulnp = npref.gl_mul if hf.name == "Goldilocks" else npref.bb_mul
+        x_np = mulnp(np_powers(hf, g, n), np.uint64(s))
+        x = F.from_np(x_np)
+        diff = self._ext_sub_base_array(z, x)  # z - x_i
+        inv_diff = batch_inv(E, diff, axis=0)
+        w_i = E.scale(inv_diff, x)  # x_i / (z - x_i)
+        s_n = hf.pow(s, n)
+        zn = self.he.pow(z, n)
+        c = he.mul(he.sub(zn, he.from_base(s_n)), he.inv(he.from_base(hf.mul(n % hf.p, s_n))))
+        # all columns at once: out_d[j] = sum_i small[j,i]·w_d[i]
+        out_coords = []
+        for d in range(E.D):
+            prod = F.mul(small, jax.tree.map(lambda a: a[None, :], w_i[d]))
+            out_coords.append(field_sum(F, prod, axis=-1))  # (w,)
+        vals_np = np.stack([F.to_np(oc) for oc in out_coords], axis=-1)  # (w, D)
+        out = []
+        for j in range(vals_np.shape[0]):
+            v = tuple(int(x_) for x_ in vals_np[j])
+            out.append(he.mul(c, v))
+        return out
+
+    def _host_ext_powers(self, alpha: ExtVal, count: int) -> List[ExtVal]:
+        out = [self.he.one]
+        for _ in range(1, count):
+            out.append(self.he.mul(out[-1], alpha))
+        return out
+
+    def _ext_pow(self, alpha: ExtVal, e: int) -> ExtVal:
+        return self.he.pow(alpha, e)
+
+    def _fold_columns(self, mat, alpha_pows: List[ExtVal]):
+        """u_i = sum_j α^j·mat[j, i] as an ext array of shape (N,)."""
+        E, F = self.E, self.F
+        w = jax.tree.leaves(mat)[0].shape[0]
+        coords = []
+        ap = np.asarray([list(a) for a in alpha_pows], dtype=np.uint64)  # (w, D)
+        for d in range(E.D):
+            wd = F.from_np(ap[:, d])  # (w,)
+            prod = F.mul(mat, jax.tree.map(lambda a: a[:, None], wd))
+            coords.append(field_sum(F, prod, axis=0))  # (N,)
+        return tuple(coords)
+
+    def _ext_sub_base_array(self, z: ExtVal, x):
+        """ext scalar z minus base array x -> ext array."""
+        E, F = self.E, self.F
+        shape = jax.tree.leaves(x)[0].shape
+        coords = []
+        for d in range(E.D):
+            zd = F.const(z[d], shape)
+            coords.append(F.sub(zd, x) if d == 0 else zd)
+        return tuple(coords)
+
+    def _ext_pair_matrix(self, a, b):
+        """Flatten two ext vectors into one base matrix (2D, N/2):
+        columns [a_0..a_{D-1}, b_0..b_{D-1}] (flatten_to_base convention)."""
+        planes = []
+        n_planes = self.F.num_planes
+        for p in range(n_planes):
+            rows = [a[d][p] for d in range(self.E.D)] + [b[d][p] for d in range(self.E.D)]
+            planes.append(jnp.stack(rows, axis=0))
+        return tuple(planes)
+
+    def _fold_pair(self, a, b, beta: ExtVal, log_size: int, shift: int):
+        """(a+b)/2 + β·(a-b)/(2x) over storage-paired entries; `shift` is the
+        current (already-squared) coset shift at this fold level."""
+        E, F, hf = self.E, self.F, self.hf
+        half_inv = hf.inv(2)
+        inv_x = self.x_table_storage(log_size, shift, inverse=True)
+        inv_x_even = jax.tree.map(lambda t: t[0::2], inv_x)
+        s = E.scale(E.add(a, b), F.const(half_inv, jax.tree.leaves(inv_x_even)[0].shape))
+        d = E.scale(E.sub(a, b), F.mul(inv_x_even, F.const(half_inv, jax.tree.leaves(inv_x_even)[0].shape)))
+        shape = jax.tree.leaves(inv_x_even)[0].shape
+        return E.add(s, E.mul(d, E.const(beta, shape)))
+
+    def _final_poly_host(self, current, log_size: int, log_max_ro: int) -> List[ExtVal]:
+        """Host iDFT of the remaining (tiny) fold vector -> coefficients.
+        Degree < 2^log_final_poly_len for honest provers."""
+        he, hf = self.he, self.hf
+        n = 1 << log_size
+        vals_np = self.E.to_np(current)  # (n, D) u64, storage order
+        evals = [tuple(int(x) for x in vals_np[i]) for i in range(n)]
+        # un-bitrev to natural
+        nat = [he.zero] * n
+        for i in range(n):
+            nat[reverse_bits(i, log_size)] = evals[i]
+        shift = self._shift_at(log_max_ro, log_size)
+        g = hf.two_adic_generator(log_size)
+        n_inv = hf.inv(n % hf.p)
+        coeffs = []
+        for j in range(n):
+            acc = he.zero
+            g_mj = hf.pow(hf.inv(g), j)
+            xp = 1
+            for i in range(n):
+                acc = he.add(acc, he.scale(nat[i], xp))
+                xp = hf.mul(xp, g_mj)
+            acc = he.scale(acc, hf.mul(n_inv, hf.pow(hf.inv(shift), j)))
+            coeffs.append(acc)
+        keep = 1 << self.fri.log_final_poly_len
+        for c in coeffs[keep:]:
+            assert self.he.is_zero(c), "final poly degree too high (prover bug)"
+        return coeffs[:keep]
+
+    # -- verify -----------------------------------------------------------
+    def verify(self, rounds: Sequence[VerifyRound], proof: FriProof, challenger) -> None:
+        he, hf = self.he, self.hf
+        fri = self.fri
+
+        for cap, mats in rounds:
+            for _, _, pts in mats:
+                for _, vals in pts:
+                    for v in vals:
+                        challenger.observe_ext(v)
+        alpha = challenger.sample_ext()
+
+        log_max = max(
+            log_n + self.log_blowup for _, mats in rounds for log_n, _, _ in mats
+        )
+        log_max_ro = max(
+            log_n + self.log_blowup
+            for _, mats in rounds
+            for log_n, _, pts in mats
+            if pts
+        )
+        log_final = self.log_blowup + fri.log_final_poly_len
+        n_folds = log_max_ro - log_final
+        ensure(len(proof.commit_caps) == n_folds, "InvalidProofShape", "fold count")
+        ensure(len(proof.commit_pow_witnesses) == n_folds, "InvalidProofShape", "pow count")
+        betas = []
+        for cap, pow_w in zip(proof.commit_caps, proof.commit_pow_witnesses):
+            challenger.observe_commitment(cap)
+            ensure(
+                challenger.check_witness(fri.commit_proof_of_work_bits, pow_w),
+                "InvalidOpeningArgument",
+                "commit PoW",
+            )
+            betas.append(challenger.sample_ext())
+        ensure(
+            len(proof.final_poly) == 1 << fri.log_final_poly_len,
+            "InvalidProofShape",
+            "final poly len",
+        )
+        for c in proof.final_poly:
+            challenger.observe_ext(c)
+        ensure(
+            challenger.check_witness(fri.query_proof_of_work_bits, proof.query_pow_witness),
+            "InvalidOpeningArgument",
+            "query PoW",
+        )
+        indices = [challenger.sample_bits(log_max) for _ in range(fri.num_queries)]
+        ensure(len(proof.query_proofs) == len(indices), "InvalidProofShape", "query count")
+
+        for index, qp in zip(indices, proof.query_proofs):
+            self._verify_query(rounds, alpha, betas, proof, index, qp, log_max, log_max_ro)
+
+    def _verify_query(self, rounds, alpha, betas, proof, index, qp, log_max, log_max_ro):
+        he, hf = self.he, self.hf
+        ensure(len(qp.input_openings) == len(rounds), "InvalidProofShape", "round count")
+        ro: Dict[int, ExtVal] = {}
+        offsets: Dict[int, int] = {}
+        for (cap, mats), opening in zip(rounds, qp.input_openings):
+            round_log_max = max(log_n for log_n, _, _ in mats) + self.log_blowup
+            r_index = index >> (log_max - round_log_max)
+            dims = [(w, 1 << (log_n + self.log_blowup)) for log_n, w, _ in mats]
+            ensure(
+                self.mmcs.verify_batch(cap, dims, r_index, opening),
+                "InvalidOpeningArgument",
+                "input Merkle path",
+            )
+            for m_idx, (log_n, w, pts) in enumerate(mats):
+                if not pts:
+                    continue
+                log_lde = log_n + self.log_blowup
+                row = [int(v) % hf.p for v in opening.opened_rows[m_idx]]
+                ensure(len(row) == w, "InvalidProofShape", "row width")
+                x = he.from_base(
+                    self.host_x_at(log_lde, hf.generator, index >> (log_max - log_lde))
+                )
+                off = offsets.get(log_lde, 0)
+                acc = ro.get(log_lde, he.zero)
+                for z, vals in pts:
+                    ensure(len(vals) == w, "InvalidProofShape", "opened values width")
+                    num = he.zero
+                    apow = self._ext_pow(alpha, off)
+                    for j in range(w):
+                        term = he.sub(he.from_base(row[j]), vals[j])
+                        num = he.add(num, he.mul(apow, term))
+                        apow = he.mul(apow, alpha)
+                    acc = he.add(acc, he.div(num, he.sub(x, z)))
+                    off += w
+                offsets[log_lde] = off
+                ro[log_lde] = acc
+
+        # fold walk (starts at the tallest height with openings)
+        ensure(len(qp.commit_openings) == len(betas), "InvalidProofShape", "level count")
+        log_size = log_max_ro
+        pos = index >> (log_max - log_max_ro)
+        value = ro.get(log_max_ro, he.zero)
+        half_inv = hf.inv(2)
+        for l, ((pair_row, path), beta) in enumerate(zip(qp.commit_openings, betas)):
+            D = self.he.D
+            ensure(len(pair_row) == 2 * D, "InvalidProofShape", "pair row width")
+            opening = BatchOpening(opened_rows=[np.asarray(pair_row, np.uint64)], path=path)
+            ensure(
+                self.mmcs.verify_batch(
+                    proof.commit_caps[l], [(2 * D, 1 << (log_size - 1))], pos >> 1, opening
+                ),
+                "InvalidOpeningArgument",
+                "commit-phase Merkle path",
+            )
+            a = tuple(int(pair_row[d]) % hf.p for d in range(D))
+            b = tuple(int(pair_row[D + d]) % hf.p for d in range(D))
+            mine = b if pos & 1 else a
+            ensure(mine == value, "InvalidOpeningArgument", "fold consistency")
+            shift = self._shift_at(log_max_ro, log_size)
+            x_even = self.host_x_at(log_size, shift, pos & ~1)
+            s = he.scale(he.add(a, b), half_inv)
+            d = he.scale(he.sub(a, b), hf.mul(half_inv, hf.inv(x_even)))
+            value = he.add(s, he.mul(beta, d))
+            log_size -= 1
+            pos >>= 1
+            if log_size in ro:
+                value = he.add(value, ro[log_size])
+
+        shift = self._shift_at(log_max_ro, log_size)
+        x_final = self.host_x_at(log_size, shift, pos)
+        acc = he.zero
+        for c in reversed(proof.final_poly):
+            acc = he.add(he.scale(acc, x_final), c)
+        ensure(acc == value, "InvalidOpeningArgument", "final poly mismatch")
+
+    def _shift_at(self, log_max: int, log_size: int) -> int:
+        """LDE shift after (log_max - log_size) arity-2 folds: GENERATOR^(2^k)."""
+        return self.hf.exp_power_of_2(self.hf.generator, log_max - log_size)

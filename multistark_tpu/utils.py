@@ -79,6 +79,24 @@ def _broadcast_leading(total_inv, like):
     return jax.tree.map(lambda a: jnp.broadcast_to(a, (n,) + a.shape[1:]), total_inv)
 
 
+def field_sum(ops, x, axis: int = -1):
+    """Modular tree-reduction sum along ``axis`` (log-depth halving)."""
+    moved = jax.tree.map(lambda a: jnp.moveaxis(a, axis, 0), x)
+    n = jax.tree.leaves(moved)[0].shape[0]
+    while n > 1:
+        half = n // 2
+        lo = jax.tree.map(lambda a: a[:half], moved)
+        hi = jax.tree.map(lambda a: a[half : 2 * half], moved)
+        s = ops.add(lo, hi)
+        if n % 2:
+            tail = jax.tree.map(lambda a: a[-1:], moved)
+            first = ops.add(jax.tree.map(lambda a: a[:1], s), tail)
+            s = jax.tree.map(lambda f, a: jnp.concatenate([f, a[1:]], axis=0), first, s)
+        moved = s
+        n = jax.tree.leaves(moved)[0].shape[0]
+    return jax.tree.map(lambda a: jnp.squeeze(a, 0), moved)
+
+
 def cumsum(ops, x, axis: int = -1):
     """Inclusive modular cumulative sum along ``axis`` (log-depth scan).
     Used for the logUp accumulator chain (reference src/lookup.rs:472-555
