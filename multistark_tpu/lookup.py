@@ -1,0 +1,308 @@
+"""logUp multiset-channel lookup argument (reference src/lookup.rs).
+
+Layout contracts (reference src/lookup.rs:13-26):
+  - publics per circuit = 4 extension values flattened:
+    (beta, gamma, acc_initial, acc_final)  =>  num_publics = 4·D
+  - stage-2 width = max(L, 1)·D base columns: one partial accumulator per
+    lookup slot (or a single pass-through slot when the circuit has none)
+
+Chained-accumulator scheme (reference src/lookup.rs:285-325): no message
+inverses are committed.  With m_{r,j} = beta + fingerprint(gamma, args_{r,j}):
+
+  step j < L-1 :  m_{r,j}·(acc_{r,j+1} - acc_{r,j}) - mult_{r,j} = 0
+  wrap (j=L-1) :  m_{r,L-1}·(acc_{r+1,0} - acc_{r,L-1} - is_last_row·Δ)
+                      - mult_{r,L-1} = 0
+
+with Δ = (acc_initial - acc_final) / (n·g) — the unnormalized is_last_row
+selector contributes exactly n·g at the last row (pinned in
+tests/test_domains.py), so telescoping around the cyclic row chain forces
+
+  Σ_{r,j} mult/m  =  acc_final - acc_initial.
+
+The direct evaluation here is generic over the working algebra (device base
+arrays on the quotient domain / host extension scalars at zeta) and is NEVER
+compiled; `synthesize_lookups` is the executable spec used to pin it
+(reference src/lookup.rs:326-371, 758-867).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import expr as ex
+from .fields.host import ExtensionParams, HostExtField, HostField
+from .graph import ConstraintGraph
+from .utils import batch_inv, cumsum
+
+ExtVal = Tuple[int, ...]
+
+
+# --- layout (reference src/lookup.rs:78-99) ----------------------------------
+
+def num_publics(degree: int) -> int:
+    return 4 * degree
+
+
+def stage2_width(num_lookups: int, degree: int) -> int:
+    return max(num_lookups, 1) * degree
+
+
+def logup_constraint_count(num_lookups: int, degree: int) -> int:
+    return max(num_lookups, 1) * degree
+
+
+def logup_max_degree(graph: ConstraintGraph) -> int:
+    """Analytic degree of the logUp constraints (reference
+    src/lookup.rs:262-278): per lookup max(max arg degree + 1, mult degree);
+    1 for the pass-through circuit."""
+    if not graph.lookups:
+        return 1
+    out = 1
+    for mult, args in graph.lookups:
+        arg_deg = max((graph.degrees[a] for a in args), default=0)
+        out = max(out, arg_deg + 1, graph.degrees[mult])
+    return out
+
+
+# --- host fingerprints (reference src/lookup.rs:375-384) ---------------------
+
+def fingerprint(he: HostExtField, gamma: ExtVal, vals: Sequence[int]) -> ExtVal:
+    """Horner: v_0 + γ·(v_1 + γ·(...))  =  Σ v_i γ^i."""
+    acc = he.zero
+    for v in reversed(vals):
+        acc = he.add(he.mul(acc, gamma), he.from_base(v % he.base.p))
+    return acc
+
+
+def claims_accumulator(
+    he: HostExtField, beta: ExtVal, gamma: ExtVal, claims: Sequence[Sequence[int]]
+) -> ExtVal:
+    """acc_0 = Σ_claims (β + fingerprint(γ, claim))^-1
+    (reference src/prover.rs:381-387)."""
+    acc = he.zero
+    for claim in claims:
+        acc = he.add(acc, he.inv(he.add(beta, fingerprint(he, gamma, claim))))
+    return acc
+
+
+# --- generic ext-coordinate arithmetic over a working algebra ----------------
+
+class ExtCoordOps:
+    """Binomial-extension arithmetic where each coordinate is a working-type
+    value W of an underlying Algebra (base arrays on device, ext scalars in
+    the verifier).  Karatsuba for D=2 (reference src/lookup.rs:152-256)."""
+
+    def __init__(self, alg, ep: ExtensionParams):
+        self.alg = alg
+        self.D = ep.degree
+        self.w = ep.w
+        self.karatsuba = ep.karatsuba
+
+    def embed_host(self, v: ExtVal):
+        return tuple(self.alg.const(c) for c in v)
+
+    def from_w(self, w):
+        zero = self.alg.const(0)
+        return (w,) + (zero,) * (self.D - 1)
+
+    def add(self, a, b):
+        return tuple(self.alg.add(x, y) for x, y in zip(a, b))
+
+    def sub(self, a, b):
+        return tuple(self.alg.sub(x, y) for x, y in zip(a, b))
+
+    def scale_w(self, a, w):
+        return tuple(self.alg.mul(x, w) for x in a)
+
+    def mul(self, a, b):
+        alg = self.alg
+        if self.D == 2 and self.karatsuba:
+            t0 = alg.mul(a[0], b[0])
+            t1 = alg.mul(a[1], b[1])
+            t2 = alg.mul(alg.add(a[0], a[1]), alg.add(b[0], b[1]))
+            c0 = alg.add(t0, alg.mul(alg.const(self.w), t1))
+            c1 = alg.sub(t2, alg.add(t0, t1))
+            return (c0, c1)
+        D = self.D
+        out = [None] * D
+        for i in range(D):
+            for j in range(D):
+                t = alg.mul(a[i], b[j])
+                k = i + j
+                if k >= D:
+                    k -= D
+                    t = alg.mul(alg.const(self.w), t)
+                out[k] = t if out[k] is None else alg.add(out[k], t)
+        return tuple(out)
+
+
+# --- direct logUp constraint evaluation (reference src/lookup.rs:152-256) ----
+
+def logup_constraint_values(
+    alg,
+    ep: ExtensionParams,
+    hf: HostField,
+    he: HostExtField,
+    num_lookups: int,
+    stage2_fn,  # (base_column, offset:0|1) -> W
+    lookup_vals: Sequence[Tuple[object, Tuple[object, ...]]],  # (mult W, args)
+    is_last_row_w,  # W value of the unnormalized is_last_row selector
+    publics: Tuple[ExtVal, ExtVal, ExtVal, ExtVal],  # (β, γ, acc_i, acc_f)
+    log_n: int,
+) -> List[Tuple]:
+    """Returns max(L,1) extension constraint values as D-tuples of W, in slot
+    order.  Evaluated directly — never compiled (SURVEY.md lookup row)."""
+    X = ExtCoordOps(alg, ep)
+    D = ep.degree
+    beta, gamma, acc_i, acc_f = publics
+    n = 1 << log_n
+    g = hf.two_adic_generator(log_n)
+    delta_host = he.scale(he.sub(acc_i, acc_f), hf.inv(hf.mul(n % hf.p, g)))
+    delta = X.embed_host(delta_host)
+
+    def s2(slot: int, offset: int):
+        return tuple(stage2_fn(slot * D + d, offset) for d in range(D))
+
+    if num_lookups == 0:
+        diff = X.sub(s2(0, 1), s2(0, 0))
+        return [X.sub(diff, X.scale_w(delta, is_last_row_w))]
+
+    gamma_emb = X.embed_host(gamma)
+    beta_emb = X.embed_host(beta)
+    out = []
+    for j in range(num_lookups):
+        mult, args = lookup_vals[j]
+        m = X.embed_host(he.zero)
+        for a in reversed(args):
+            m = X.add(X.mul(m, gamma_emb), X.from_w(a))
+        m = X.add(m, beta_emb)
+        if j < num_lookups - 1:
+            diff = X.sub(s2(j + 1, 0), s2(j, 0))
+        else:
+            diff = X.sub(s2(0, 1), s2(j, 0))
+            diff = X.sub(diff, X.scale_w(delta, is_last_row_w))
+        c = X.mul(m, diff)
+        c = (alg.sub(c[0], mult),) + c[1:]
+        out.append(c)
+    return out
+
+
+# --- executable synthesized spec (reference src/lookup.rs:326-371) -----------
+
+def synthesize_lookups(
+    lookups: Sequence[ex.Lookup], ep: ExtensionParams, hf: HostField, log_n: int
+) -> List[ex.ExtExpr]:
+    """The same constraints as compilable ExtExprs (test reference only —
+    production uses the direct evaluation above)."""
+    D = ep.degree
+    beta = ex.public_ext(0, D)
+    gamma = ex.public_ext(1, D)
+    acc_i = ex.public_ext(2, D)
+    acc_f = ex.public_ext(3, D)
+    n = 1 << log_n
+    inv_ng = hf.inv(hf.mul(n % hf.p, hf.two_adic_generator(log_n)))
+    delta = ex.ExtBase(ex.Const(inv_ng)) * (acc_i - acc_f)
+    L = len(lookups)
+    if L == 0:
+        diff = ex.stage2_ext_next(0, D) - ex.stage2_ext(0, D)
+        return [diff - ex.ExtBase(ex.IsLastRow()) * delta]
+    out = []
+    for j, lk in enumerate(lookups):
+        m = ex.ExtBase(ex.Const(0))
+        for a in reversed(lk.args):
+            m = m * gamma + ex.ExtBase(a)
+        m = m + beta
+        if j < L - 1:
+            diff = ex.stage2_ext(j + 1, D) - ex.stage2_ext(j, D)
+        else:
+            diff = ex.stage2_ext_next(0, D) - ex.stage2_ext(j, D)
+            diff = diff - ex.ExtBase(ex.IsLastRow()) * delta
+        out.append(m * diff - ex.ExtBase(lk.multiplicity))
+    return out
+
+
+# --- witness-side lookup values (reference src/lookup.rs:392-675) ------------
+
+@dataclass
+class LookupValues:
+    """Per-circuit lookup witness: for each slot, the multiplicity column and
+    argument columns as device base-field arrays of shape (n,)."""
+
+    height: int
+    mults: List[object]  # L base arrays (n,)
+    args: List[List[object]]  # L lists of base arrays (n,)
+
+
+def stage_2_traces(
+    F,  # device base FieldOps
+    E,  # device ExtOps
+    hf: HostField,
+    he: HostExtField,
+    lookup_values: Sequence[LookupValues],
+    beta: ExtVal,
+    gamma: ExtVal,
+    acc0: ExtVal,
+):
+    """Build all active circuits' stage-2 traces + per-circuit intermediate
+    accumulators, threading one global accumulator (reference
+    src/lookup.rs:472-555; the serial row chain becomes a parallel prefix
+    scan, SURVEY.md §7.1 step 7).
+
+    Returns (stage2_mats: [(max(L,1)·D, n) base matrices], accs: [ExtVal]).
+    """
+    D = E.D
+    mats = []
+    accs = []
+    acc = acc0
+    for lv in lookup_values:
+        n, L = lv.height, len(lv.mults)
+        if L == 0:
+            coords = [F.const(acc[d], (n,)) for d in range(D)]
+            mats.append(_stack_base_rows(F, coords))
+            accs.append(acc)
+            continue
+        # messages m_{r,j} as ext arrays (L, n)
+        slot_msgs = []
+        for j in range(L):
+            m = E.zeros((n,))
+            gamma_c = E.const(gamma, (n,))
+            for a in reversed(lv.args[j]):
+                m = E.add(E.mul(m, gamma_c), E.from_base(a))
+            m = E.add(m, E.const(beta, (n,)))
+            slot_msgs.append(m)
+        msgs = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *slot_msgs)  # (L, n)
+        mults = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *lv.mults)  # (L, n)
+        # chain order: row-major, slot-minor -> transpose to (n, L), flatten
+        flat_msgs = jax.tree.map(lambda a: a.T.reshape(-1), msgs)
+        flat_mults = jax.tree.map(lambda a: a.T.reshape(-1), mults)
+        inv_msgs = batch_inv(E, flat_msgs, axis=0)
+        terms = E.scale(inv_msgs, flat_mults)
+        incl = cumsum(E, terms, axis=0)
+        # stored acc = acc_start + exclusive prefix
+        excl = jax.tree.map(
+            lambda a: jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]], axis=0), incl
+        )
+        acc_flat = E.add(excl, E.const(acc, (n * L,)))
+        # total for this circuit
+        total_np = E.to_np(jax.tree.map(lambda a: a[-1:], incl))
+        acc = he.add(acc, tuple(int(x) for x in total_np[0]))
+        # cells back to (slot, row) layout: position r·L + j
+        rows = []
+        for j in range(L):
+            for d in range(D):
+                rows.append(jax.tree.map(lambda a: a.reshape(n, L)[:, j], acc_flat[d]))
+        mats.append(_stack_base_rows(F, rows))
+        accs.append(acc)
+    return mats, accs
+
+
+def _stack_base_rows(F, rows):
+    """List of base arrays (n,) -> base matrix (len(rows), n)."""
+    return tuple(
+        jnp.stack([r[p] for r in rows], axis=0) for p in range(F.num_planes)
+    )
