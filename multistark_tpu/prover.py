@@ -1,0 +1,285 @@
+"""The 6-stage prover (reference src/prover.rs:289-603; stage taxonomy in
+SURVEY.md §3.3).
+
+Device work happens in the big stages (stage-1 commit, stage-2 lookup
+traces + commit, quotient evaluation + commit, FRI open); the Fiat-Shamir
+challenger runs on host between them — 5 host↔device round-trips per proof,
+one per commit/sample boundary (SURVEY.md §7.0)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import lookup as lk
+from .domains import TwoAdicCoset
+from .evaluator import DeviceAlgebra, constraint_values, lookup_values as graph_lookup_values, sweep
+from .expr import Source
+from .ntt import get_engine
+from .pcs import FriProof
+from .profiling import span
+from .system import ProverKey, System, SystemWitness
+
+ExtVal = Tuple[int, ...]
+
+
+@dataclass
+class Commitments:
+    stage_1_trace: np.ndarray
+    stage_2_trace: np.ndarray
+    quotient_chunks: np.ndarray
+
+
+@dataclass
+class Proof:
+    """reference src/prover.rs:202-238."""
+
+    active: List[bool]
+    commitments: Commitments
+    intermediate_accumulators: List[ExtVal]
+    log_degrees: List[int]  # per ACTIVE circuit
+    # opened values: per matrix, per point, per column (ext coords)
+    preprocessed_opened: List[List[List[ExtVal]]]
+    stage1_opened: List[List[List[ExtVal]]]
+    stage2_opened: List[List[List[ExtVal]]]
+    quotient_opened: List[List[List[ExtVal]]]
+    fri_proof: FriProof
+
+    def to_bytes(self) -> bytes:
+        from .serialization import proof_to_bytes
+
+        return proof_to_bytes(self)
+
+    @staticmethod
+    def from_bytes(data: bytes, system: "System") -> "Proof":
+        from .serialization import proof_from_bytes
+
+        return proof_from_bytes(data, system)
+
+
+def prove(system: System, key: ProverKey, witness: SystemWitness, claims=None) -> Proof:
+    return prove_multiple_claims(system, key, witness, [claims] if claims else [])
+
+
+def prove_multiple_claims(
+    system: System, key: ProverKey, witness: SystemWitness, claims: Sequence[Sequence[int]]
+) -> Proof:
+    config = system.config
+    F, E = config.field, config.ext
+    hf, he = config.host_field, config.host_ext
+    pcs = config.pcs
+    engine = get_engine(F)
+
+    with span("stark/prove"):
+        ch = config.initialise_challenger()
+        system.observe_shape(ch)
+
+        # activation bitmap, observed before any commitment (prover.rs:303-331)
+        active = [h > 0 for h in witness.heights]
+        assert any(active), "at least one circuit must be active"
+        for b in active:
+            ch.observe_bytes(bytes([1 if b else 0]))
+        active_idx = [i for i, b in enumerate(active) if b]
+        log_degrees = [witness.heights[i].bit_length() - 1 for i in active_idx]
+
+        # STAGE-1 COMMIT (prover.rs:336-350)
+        with span("stark/stage1_commit"):
+            s1_pairs = [
+                (pcs.natural_domain_for_degree(witness.heights[i]), witness.traces[i])
+                for i in active_idx
+            ]
+            s1_cap, s1_data = pcs.commit(s1_pairs)
+
+        if system.preprocessed_commit is not None:
+            ch.observe_commitment(system.preprocessed_commit)
+        ch.observe_commitment(s1_cap)
+        for ld in log_degrees:
+            ch.observe_bytes(bytes([ld]))
+        # length-prefixed claims (prover.rs:353-373)
+        ch.observe_u64(len(claims))
+        for claim in claims:
+            ch.observe_u64(len(claim))
+            for v in claim:
+                ch.observe_field(int(v))
+
+        beta = ch.sample_ext()
+        gamma = ch.sample_ext()
+        acc0 = lk.claims_accumulator(he, beta, gamma, claims)
+
+        # STAGE-2: lookup traces (prover.rs:391-421)
+        with span("stark/lookup_construction"):
+            lvs = [witness.lookup_values[i] for i in active_idx]
+            s2_mats, accs = lk.stage_2_traces(F, E, hf, he, lvs, beta, gamma, acc0)
+        with span("stark/stage2_commit"):
+            s2_pairs = [
+                (pcs.natural_domain_for_degree(witness.heights[i]), m)
+                for i, m in zip(active_idx, s2_mats)
+            ]
+            s2_cap, s2_data = pcs.commit(s2_pairs)
+        ch.observe_commitment(s2_cap)
+        for a in accs:
+            ch.observe_ext(a)
+
+        alpha = ch.sample_ext()
+
+        # QUOTIENT per active circuit (prover.rs:437-527)
+        with span("stark/quotient"):
+            chunk_mats = []
+            for k, i in enumerate(active_idx):
+                acc_prev = acc0 if k == 0 else accs[k - 1]
+                chunk_mats.append(
+                    _quotient_chunk_coeffs(
+                        system, key, witness, s1_data, s2_data, i, k,
+                        beta, gamma, alpha, acc_prev, accs[k],
+                    )
+                )
+            q_cap, q_data = pcs.commit_from_coeffs(chunk_mats)
+        ch.observe_commitment(q_cap)
+
+        zeta = ch.sample_ext()
+
+        # opening rounds (prover.rs:539-580): preprocessed?, stage1, stage2, quotient
+        rounds = []
+        if key.preprocessed_data is not None:
+            pre_points = []
+            for c_idx, p_idx in enumerate(system.preprocessed_index):
+                if p_idx is None:
+                    continue
+                if active[c_idx]:
+                    log_n = witness.heights[c_idx].bit_length() - 1
+                    g = hf.two_adic_generator(log_n)
+                    pre_points.append([zeta, he.scale(zeta, g)])
+                else:
+                    pre_points.append([])
+            rounds.append((key.preprocessed_data, pre_points))
+        two_pt = []
+        for i in active_idx:
+            log_n = witness.heights[i].bit_length() - 1
+            g = hf.two_adic_generator(log_n)
+            two_pt.append([zeta, he.scale(zeta, g)])
+        rounds.append((s1_data, two_pt))
+        rounds.append((s2_data, [list(p) for p in two_pt]))
+        rounds.append((q_data, [[zeta] for _ in active_idx]))
+
+        with span("stark/fri_open"):
+            opened, fri_proof = pcs.open(rounds, ch)
+
+        r = 0
+        if key.preprocessed_data is not None:
+            pre_opened = opened[r]
+            r += 1
+        else:
+            pre_opened = []
+        s1_opened, s2_opened, q_opened = opened[r], opened[r + 1], opened[r + 2]
+
+        return Proof(
+            active=active,
+            commitments=Commitments(s1_cap, s2_cap, q_cap),
+            intermediate_accumulators=list(accs),
+            log_degrees=log_degrees,
+            preprocessed_opened=pre_opened,
+            stage1_opened=s1_opened,
+            stage2_opened=s2_opened,
+            quotient_opened=q_opened,
+            fri_proof=fri_proof,
+        )
+
+
+def _quotient_chunk_coeffs(
+    system, key, witness, s1_data, s2_data, c_idx, active_ord,
+    beta, gamma, alpha, acc_prev, acc_final,
+):
+    """Evaluate the α-folded constraint composition on the disjoint quotient
+    domain, divide by Z_H, and return the chunked coefficient matrix
+    (q·D, n) for the fused commit path (reference src/prover.rs:756-962)."""
+    config = system.config
+    F, E = config.field, config.ext
+    hf, he = config.host_field, config.host_ext
+    pcs = config.pcs
+    engine = get_engine(F)
+    circuit = system.circuits[c_idx]
+    ep = config.extension_params
+    D = ep.degree
+
+    n = witness.heights[c_idx]
+    log_n = n.bit_length() - 1
+    q = circuit.quotient_degree
+    trace_dom = TwoAdicCoset(hf, log_n, 1)
+    qdom = trace_dom.create_disjoint_domain(n * q)
+    m = qdom.size
+    roll = m // n  # next-row step on the quotient domain
+
+    mats = {}
+    mats[Source.MAIN.value] = pcs.get_evaluations_on_domain(s1_data, active_ord, qdom)
+    mats[Source.STAGE2.value] = pcs.get_evaluations_on_domain(s2_data, active_ord, qdom)
+    p_idx = system.preprocessed_index[c_idx]
+    if p_idx is not None:
+        mats[Source.PREPROCESSED.value] = pcs.get_evaluations_on_domain(
+            key.preprocessed_data, p_idx, qdom
+        )
+
+    def var_provider(source, col, offset):
+        mat = mats[source]
+        colv = jax.tree.map(lambda p: p[col], mat)
+        if offset == 1:
+            colv = jax.tree.map(lambda p: jnp.roll(p, -roll), colv)
+        return colv
+
+    sel_np = trace_dom.selectors_on_coset(qdom)
+    selectors = {
+        "first": F.from_np(sel_np.is_first_row),
+        "last": F.from_np(sel_np.is_last_row),
+        "transition": F.from_np(sel_np.is_transition),
+    }
+    publics_flat = [c for v in (beta, gamma, acc_prev, acc_final) for c in v]
+
+    def publics(idx):
+        return F.const(publics_flat[idx], ())
+
+    alg = DeviceAlgebra(F, var_provider, publics, selectors)
+    buf = sweep(circuit.graph, alg)
+    user_vals = constraint_values(circuit.graph, buf)
+    lvals = graph_lookup_values(circuit.graph, buf)
+    logup_vals = lk.logup_constraint_values(
+        alg,
+        ep,
+        hf,
+        he,
+        circuit.num_lookups,
+        lambda col, off: var_provider(Source.STAGE2.value, col, off),
+        lvals,
+        selectors["last"],
+        (beta, gamma, acc_prev, acc_final),
+        log_n,
+    )
+    values = list(user_vals)
+    for lv in logup_vals:
+        values.extend(lv)
+    assert len(values) == circuit.constraint_count
+
+    # α-fold: value i gets α^(K-1-i) — Horner order on the verifier side
+    K = len(values)
+    apows = [he.one]
+    for _ in range(1, K):
+        apows.append(he.mul(apows[-1], alpha))
+    coords = [F.const(0, ()) for _ in range(D)]
+    for i, v in enumerate(values):
+        ap = apows[K - 1 - i]
+        v = jax.tree.map(lambda p: jnp.broadcast_to(p, (m,)), v)
+        for d in range(D):
+            coords[d] = F.add(coords[d], F.mul(v, F.const(ap[d], ())))
+    inv_vanishing = F.from_np(sel_np.inv_vanishing)
+    coords = [F.mul(c, inv_vanishing) for c in coords]
+
+    # iDFT on the quotient coset -> Q coefficients; slice into q chunks
+    qmat = tuple(jnp.stack([coords[d][p] for d in range(D)], axis=0) for p in range(F.num_planes))
+    coeffs = engine.icoset_from_natural(qmat, qdom.log_n, qdom.shift)
+    rows = []
+    for i in range(q):
+        for d in range(D):
+            rows.append(jax.tree.map(lambda p: p[d, i * n : (i + 1) * n], coeffs))
+    return tuple(jnp.stack([r[p] for r in rows], axis=0) for p in range(F.num_planes))
