@@ -166,14 +166,7 @@ class GoldilocksOps:
         return self.mul(a, self.const(value, a[0].shape))
 
     def pow_const(self, a: Fp, e: int) -> Fp:
-        r = self.const(1, a[0].shape)
-        b = a
-        while e:
-            if e & 1:
-                r = self.mul(r, b)
-            b = self.mul(b, b)
-            e >>= 1
-        return r
+        return _pow_const(self, a, e)
 
     def inv(self, a: Fp) -> Fp:
         """Fermat inverse (zero maps to zero). Fully parallel; for long vectors
@@ -257,14 +250,7 @@ class BabyBearOps:
         return self.mul(a, self.const(value, a[0].shape))
 
     def pow_const(self, a: Fp, e: int) -> Fp:
-        r = self.const(1, a[0].shape)
-        b = a
-        while e:
-            if e & 1:
-                r = self.mul(r, b)
-            b = self.mul(b, b)
-            e >>= 1
-        return r
+        return _pow_const(self, a, e)
 
     def inv(self, a: Fp) -> Fp:
         return self.pow_const(a, BABYBEAR.p - 2)
@@ -286,6 +272,37 @@ class BabyBearOps:
     def to_np(self, a: Fp) -> np.ndarray:
         mont = np.asarray(jax.device_get(a[0]), np.uint64)
         return mont * np.uint64(_BB_RINV) % np.uint64(BABYBEAR.p)
+
+
+def _pow_const(F, a: Fp, e: int) -> Fp:
+    """Power by a compile-time-constant exponent.  Small exponents unroll;
+    large ones (Fermat inverses) run square-and-multiply under lax.scan —
+    a deep unrolled mul chain makes backend codegen time explode (XLA:CPU
+    LLVM emission is superlinear in chain depth), while a scan compiles the
+    one-mul body once."""
+    if e == 0:
+        return F.const(1, a[0].shape)
+    if e.bit_length() <= 8:
+        r = None
+        b = a
+        while e:
+            if e & 1:
+                r = b if r is None else F.mul(r, b)
+            b = F.mul(b, b)
+            e >>= 1
+        return r
+    shape = a[0].shape
+    bits = jnp.asarray([(e >> i) & 1 for i in range(e.bit_length())], u32)
+
+    def body(carry, bit):
+        acc, base = carry
+        acc2 = F.select(bit == 1, F.mul(acc, base), acc)
+        base2 = F.mul(base, base)
+        return (acc2, base2), None
+
+    one = F.const(1, shape)
+    (acc, _), _ = jax.lax.scan(body, (one, a), bits)
+    return acc
 
 
 GL_OPS = GoldilocksOps()

@@ -180,10 +180,19 @@ class Blake3Device:
 
     Inputs are u32-word streams (all byte lengths in this library are
     multiples of 4: u64-serialized field rows and 32-byte digests).
+    Entry points are jitted (shape-specialized once, reused every proof).
     """
 
     @staticmethod
     def hash_words(words: jnp.ndarray) -> jnp.ndarray:
+        from ..utils import jit_enabled
+
+        if jit_enabled():
+            return _hash_words_jit(words)
+        return Blake3Device._hash_words_impl(words)
+
+    @staticmethod
+    def _hash_words_impl(words: jnp.ndarray) -> jnp.ndarray:
         """words: (B, W) uint32 (the W*4-byte message for each lane).
         Returns digests (B, 8) uint32."""
         B, W = words.shape
@@ -255,6 +264,14 @@ class Blake3Device:
 
     @staticmethod
     def compress_pairs(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
+        from ..utils import jit_enabled
+
+        if jit_enabled():
+            return _compress_pairs_jit(left, right)
+        return Blake3Device._compress_pairs_impl(left, right)
+
+    @staticmethod
+    def _compress_pairs_impl(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
         """Merkle 2-to-1: blake3(left||right) for (B, 8)+(B, 8) -> (B, 8)."""
         block = [left[:, i] for i in range(8)] + [right[:, i] for i in range(8)]
         cv = [jnp.full((left.shape[0],), np.uint32(IV[i]), u32) for i in range(8)]
@@ -263,6 +280,10 @@ class Blake3Device:
             np.uint32(CHUNK_START | CHUNK_END | ROOT),
         )
         return jnp.stack(out, axis=1)
+
+
+_hash_words_jit = jax.jit(Blake3Device._hash_words_impl)
+_compress_pairs_jit = jax.jit(Blake3Device._compress_pairs_impl)
 
 
 def digest_to_bytes(digest_row: np.ndarray) -> bytes:

@@ -37,7 +37,7 @@ import numpy as np
 from . import expr as ex
 from .fields.host import ExtensionParams, HostExtField, HostField
 from .graph import ConstraintGraph
-from .utils import batch_inv, cumsum
+from .utils import batch_inv, cached_jit, cumsum, ext_scalar
 
 ExtVal = Tuple[int, ...]
 
@@ -147,23 +147,24 @@ def logup_constraint_values(
     alg,
     ep: ExtensionParams,
     hf: HostField,
-    he: HostExtField,
     num_lookups: int,
     stage2_fn,  # (base_column, offset:0|1) -> W
     lookup_vals: Sequence[Tuple[object, Tuple[object, ...]]],  # (mult W, args)
     is_last_row_w,  # W value of the unnormalized is_last_row selector
-    publics: Tuple[ExtVal, ExtVal, ExtVal, ExtVal],  # (β, γ, acc_i, acc_f)
+    publics_emb,  # (β, γ, acc_i, acc_f) — each a D-tuple of W values
     log_n: int,
 ) -> List[Tuple]:
     """Returns max(L,1) extension constraint values as D-tuples of W, in slot
-    order.  Evaluated directly — never compiled (SURVEY.md lookup row)."""
+    order.  Evaluated directly — never compiled (SURVEY.md lookup row).
+    Publics arrive pre-embedded in the working type so jitted callers pass
+    them as arguments rather than baking transcript values into the trace."""
     X = ExtCoordOps(alg, ep)
     D = ep.degree
-    beta, gamma, acc_i, acc_f = publics
+    beta_emb, gamma_emb, acc_i, acc_f = publics_emb
     n = 1 << log_n
     g = hf.two_adic_generator(log_n)
-    delta_host = he.scale(he.sub(acc_i, acc_f), hf.inv(hf.mul(n % hf.p, g)))
-    delta = X.embed_host(delta_host)
+    inv_ng = alg.const(hf.inv(hf.mul(n % hf.p, g)))
+    delta = X.scale_w(X.sub(acc_i, acc_f), inv_ng)
 
     def s2(slot: int, offset: int):
         return tuple(stage2_fn(slot * D + d, offset) for d in range(D))
@@ -172,12 +173,11 @@ def logup_constraint_values(
         diff = X.sub(s2(0, 1), s2(0, 0))
         return [X.sub(diff, X.scale_w(delta, is_last_row_w))]
 
-    gamma_emb = X.embed_host(gamma)
-    beta_emb = X.embed_host(beta)
     out = []
     for j in range(num_lookups):
         mult, args = lookup_vals[j]
-        m = X.embed_host(he.zero)
+        zero = alg.const(0)
+        m = (zero,) * D
         for a in reversed(args):
             m = X.add(X.mul(m, gamma_emb), X.from_w(a))
         m = X.add(m, beta_emb)
@@ -262,47 +262,60 @@ def stage_2_traces(
     for lv in lookup_values:
         n, L = lv.height, len(lv.mults)
         if L == 0:
-            coords = [F.const(acc[d], (n,)) for d in range(D)]
-            mats.append(_stack_base_rows(F, coords))
+            # pass-through: a (D, n) matrix of the constant accumulator
+            acc_d = ext_scalar(E, acc)
+            planes = tuple(
+                jnp.broadcast_to(
+                    jnp.stack([acc_d[d][p] for d in range(D)])[:, None], (D, n)
+                )
+                for p in range(F.num_planes)
+            )
+            mats.append(planes)
             accs.append(acc)
             continue
-        # messages m_{r,j} as ext arrays (L, n)
-        slot_msgs = []
-        for j in range(L):
-            m = E.zeros((n,))
-            gamma_c = E.const(gamma, (n,))
-            for a in reversed(lv.args[j]):
-                m = E.add(E.mul(m, gamma_c), E.from_base(a))
-            m = E.add(m, E.const(beta, (n,)))
-            slot_msgs.append(m)
-        msgs = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *slot_msgs)  # (L, n)
-        mults = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *lv.mults)  # (L, n)
-        # chain order: row-major, slot-minor -> transpose to (n, L), flatten
-        flat_msgs = jax.tree.map(lambda a: a.T.reshape(-1), msgs)
-        flat_mults = jax.tree.map(lambda a: a.T.reshape(-1), mults)
-        inv_msgs = batch_inv(E, flat_msgs, axis=0)
-        terms = E.scale(inv_msgs, flat_mults)
-        incl = cumsum(E, terms, axis=0)
-        # stored acc = acc_start + exclusive prefix
-        excl = jax.tree.map(
-            lambda a: jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]], axis=0), incl
+        kern = cached_jit(
+            (E.name, "s2_kernel", L, tuple(len(a) for a in lv.args), n),
+            lambda: lambda mults, args, b, g, a0: _stage2_kernel(F, E, mults, args, b, g, a0),
         )
-        acc_flat = E.add(excl, E.const(acc, (n * L,)))
-        # total for this circuit
-        total_np = E.to_np(jax.tree.map(lambda a: a[-1:], incl))
-        acc = he.add(acc, tuple(int(x) for x in total_np[0]))
-        # cells back to (slot, row) layout: position r·L + j
-        rows = []
-        for j in range(L):
-            for d in range(D):
-                rows.append(jax.tree.map(lambda a: a.reshape(n, L)[:, j], acc_flat[d]))
-        mats.append(_stack_base_rows(F, rows))
+        planes, total = kern(
+            lv.mults, lv.args, ext_scalar(E, beta), ext_scalar(E, gamma), ext_scalar(E, acc)
+        )
+        total_np = E.to_np(total)
+        acc = he.add(acc, tuple(int(x) for x in total_np))
+        mats.append(planes)
         accs.append(acc)
     return mats, accs
 
 
-def _stack_base_rows(F, rows):
-    """List of base arrays (n,) -> base matrix (len(rows), n)."""
-    return tuple(
+def _stage2_kernel(F, E, mults_list, args_list, beta_d, gamma_d, acc_d):
+    """Jitted per-circuit stage-2 computation.  beta/gamma/acc are device ext
+    scalars (arguments, not baked constants)."""
+    D = E.D
+    L = len(mults_list)
+    n = jax.tree.leaves(mults_list[0])[0].shape[0]
+    slot_msgs = []
+    for j in range(L):
+        m = E.zeros((n,))
+        for a in reversed(args_list[j]):
+            m = E.add(E.mul(m, gamma_d), E.from_base(a))  # scalars broadcast
+        m = E.add(m, beta_d)
+        slot_msgs.append(m)
+    # chain order: row-major, slot-minor -> interleave via stack(axis=1)
+    flat_msgs = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1).reshape(-1), *slot_msgs)
+    flat_mults = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1).reshape(-1), *mults_list)
+    inv_msgs = batch_inv(E, flat_msgs, axis=0)
+    terms = E.scale(inv_msgs, flat_mults)
+    incl = cumsum(E, terms, axis=0)
+    excl = jax.tree.map(
+        lambda a: jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]], axis=0), incl
+    )
+    acc_flat = E.add(excl, acc_d)
+    total = jax.tree.map(lambda a: a[-1], incl)
+    rows = []
+    for j in range(L):
+        for d in range(D):
+            rows.append(jax.tree.map(lambda a: a.reshape(n, L)[:, j], acc_flat[d]))
+    planes = tuple(
         jnp.stack([r[p] for r in rows], axis=0) for p in range(F.num_planes)
     )
+    return planes, total

@@ -64,6 +64,10 @@ class NttEngine:
         self._tw: Dict[Tuple[int, bool], list] = {}
         self._brev: Dict[int, jnp.ndarray] = {}
         self._powcache: Dict[Tuple[int, int], object] = {}
+        # jitted butterfly passes: twiddles are ARGUMENTS, so one compiled
+        # program per (shape, log_n) serves forward/inverse and every proof
+        self._dit_j = jax.jit(lambda x, tw: self._dit_impl(x, tw))
+        self._dif_j = jax.jit(lambda x, tw: self._dif_impl(x, tw))
 
     # -- caches -----------------------------------------------------------
     def _twiddles(self, log_n: int, inverse: bool) -> list:
@@ -95,41 +99,72 @@ class NttEngine:
 
     # -- core butterfly passes -------------------------------------------
     def _dit(self, x, log_n: int, inverse: bool):
+        from ..utils import jit_enabled
+
+        fn = self._dit_j if jit_enabled() else self._dit_impl
+        return fn(x, tuple(self._twiddles(log_n, inverse)))
+
+    def _dif(self, x, log_n: int, inverse: bool):
+        from ..utils import jit_enabled
+
+        fn = self._dif_j if jit_enabled() else self._dif_impl
+        return fn(x, tuple(self._twiddles(log_n, inverse)))
+
+    # NOTE: all butterfly arithmetic happens on FLAT 1-D plane arrays; shapes
+    # are only touched by reshape/stack (layout ops).  Elementwise ops on
+    # arrays with a tiny minor dimension (the early stages' pair axis) make
+    # XLA:CPU codegen time explode, and waste TPU lanes — flat is fast on
+    # both.
+    def _dit_impl(self, x, tw):
         """DIT stages: bit-reversed input -> natural output."""
         F = self.F
-        tw = self._twiddles(log_n, inverse)
+        log_n = len(tw)
         n = 1 << log_n
         lead = jax.tree.leaves(x)[0].shape[:-1]
+        groups = int(np.prod(lead, dtype=np.int64)) if lead else 1
         for s in range(1, log_n + 1):
             m = 1 << s
             half = m >> 1
-            xr = jax.tree.map(lambda a: a.reshape(lead + (n // m, m)), x)
-            a = jax.tree.map(lambda v: v[..., :half], xr)
-            b = jax.tree.map(lambda v: v[..., half:], xr)
-            t = F.mul(b, tw[s - 1])
+            k = groups * (n // m)
+            xr = jax.tree.map(lambda a: a.reshape(k, 2, half), x)
+            a = jax.tree.map(lambda v: v[:, 0, :].reshape(-1), xr)
+            b = jax.tree.map(lambda v: v[:, 1, :].reshape(-1), xr)
+            twf = jax.tree.map(lambda t: jnp.broadcast_to(t, (k, half)).reshape(-1), tw[s - 1])
+            t = F.mul(b, twf)
             lo = F.add(a, t)
             hi = F.sub(a, t)
             x = jax.tree.map(
-                lambda p, q: jnp.concatenate([p, q], axis=-1).reshape(lead + (n,)), lo, hi
+                lambda p, q: jnp.stack(
+                    [p.reshape(k, half), q.reshape(k, half)], axis=1
+                ).reshape(lead + (n,)),
+                lo,
+                hi,
             )
         return x
 
-    def _dif(self, x, log_n: int, inverse: bool):
+    def _dif_impl(self, x, tw):
         """DIF stages: natural input -> bit-reversed output."""
         F = self.F
-        tw = self._twiddles(log_n, inverse)
+        log_n = len(tw)
         n = 1 << log_n
         lead = jax.tree.leaves(x)[0].shape[:-1]
+        groups = int(np.prod(lead, dtype=np.int64)) if lead else 1
         for s in range(log_n, 0, -1):
             m = 1 << s
             half = m >> 1
-            xr = jax.tree.map(lambda a: a.reshape(lead + (n // m, m)), x)
-            a = jax.tree.map(lambda v: v[..., :half], xr)
-            b = jax.tree.map(lambda v: v[..., half:], xr)
+            k = groups * (n // m)
+            xr = jax.tree.map(lambda a: a.reshape(k, 2, half), x)
+            a = jax.tree.map(lambda v: v[:, 0, :].reshape(-1), xr)
+            b = jax.tree.map(lambda v: v[:, 1, :].reshape(-1), xr)
+            twf = jax.tree.map(lambda t: jnp.broadcast_to(t, (k, half)).reshape(-1), tw[s - 1])
             lo = F.add(a, b)
-            hi = F.mul(F.sub(a, b), tw[s - 1])
+            hi = F.mul(F.sub(a, b), twf)
             x = jax.tree.map(
-                lambda p, q: jnp.concatenate([p, q], axis=-1).reshape(lead + (n,)), lo, hi
+                lambda p, q: jnp.stack(
+                    [p.reshape(k, half), q.reshape(k, half)], axis=1
+                ).reshape(lead + (n,)),
+                lo,
+                hi,
             )
         return x
 

@@ -23,6 +23,7 @@ from .ntt import get_engine
 from .pcs import FriProof
 from .profiling import span
 from .system import ProverKey, System, SystemWitness
+from .utils import cached_jit, ext_scalar
 
 ExtVal = Tuple[int, ...]
 
@@ -195,23 +196,23 @@ def _quotient_chunk_coeffs(
 ):
     """Evaluate the α-folded constraint composition on the disjoint quotient
     domain, divide by Z_H, and return the chunked coefficient matrix
-    (q·D, n) for the fused commit path (reference src/prover.rs:756-962)."""
+    (q·D, n) for the fused commit path (reference src/prover.rs:756-962).
+
+    The device computation is one jitted kernel per (circuit, height);
+    transcript values (β, γ, α, accumulators) enter as device scalars so the
+    compiled program is reused across proofs."""
     config = system.config
-    F, E = config.field, config.ext
-    hf, he = config.host_field, config.host_ext
+    F = config.field
+    E = config.ext
+    hf = config.host_field
     pcs = config.pcs
-    engine = get_engine(F)
     circuit = system.circuits[c_idx]
-    ep = config.extension_params
-    D = ep.degree
 
     n = witness.heights[c_idx]
     log_n = n.bit_length() - 1
     q = circuit.quotient_degree
     trace_dom = TwoAdicCoset(hf, log_n, 1)
     qdom = trace_dom.create_disjoint_domain(n * q)
-    m = qdom.size
-    roll = m // n  # next-row step on the quotient domain
 
     mats = {}
     mats[Source.MAIN.value] = pcs.get_evaluations_on_domain(s1_data, active_ord, qdom)
@@ -222,6 +223,35 @@ def _quotient_chunk_coeffs(
             key.preprocessed_data, p_idx, qdom
         )
 
+    sel_np = trace_dom.selectors_on_coset(qdom)
+    selectors = {
+        "first": F.from_np(sel_np.is_first_row),
+        "last": F.from_np(sel_np.is_last_row),
+        "transition": F.from_np(sel_np.is_transition),
+        "inv_vanishing": F.from_np(sel_np.inv_vanishing),
+    }
+    pubs = tuple(ext_scalar(E, v) for v in (beta, gamma, acc_prev, acc_final))
+    alpha_d = ext_scalar(E, alpha)
+
+    kern = cached_jit(
+        ("quotient", id(circuit), log_n),
+        lambda: lambda m_, s_, p_, a_: _quotient_kernel(
+            config, circuit, log_n, q, m_, s_, p_, a_
+        ),
+    )
+    return kern(mats, selectors, pubs, alpha_d)
+
+
+def _quotient_kernel(config, circuit, log_n, q, mats, selectors, pubs, alpha_d):
+    F, E = config.field, config.ext
+    hf = config.host_field
+    ep = config.extension_params
+    D = ep.degree
+    engine = get_engine(F)
+    n = 1 << log_n
+    m = n * q
+    roll = q  # next-row step on the quotient domain (g_n = G_m^q)
+
     def var_provider(source, col, offset):
         mat = mats[source]
         colv = jax.tree.map(lambda p: p[col], mat)
@@ -229,16 +259,8 @@ def _quotient_chunk_coeffs(
             colv = jax.tree.map(lambda p: jnp.roll(p, -roll), colv)
         return colv
 
-    sel_np = trace_dom.selectors_on_coset(qdom)
-    selectors = {
-        "first": F.from_np(sel_np.is_first_row),
-        "last": F.from_np(sel_np.is_last_row),
-        "transition": F.from_np(sel_np.is_transition),
-    }
-    publics_flat = [c for v in (beta, gamma, acc_prev, acc_final) for c in v]
-
     def publics(idx):
-        return F.const(publics_flat[idx], ())
+        return pubs[idx // D][idx % D]
 
     alg = DeviceAlgebra(F, var_provider, publics, selectors)
     buf = sweep(circuit.graph, alg)
@@ -248,12 +270,11 @@ def _quotient_chunk_coeffs(
         alg,
         ep,
         hf,
-        he,
         circuit.num_lookups,
         lambda col, off: var_provider(Source.STAGE2.value, col, off),
         lvals,
         selectors["last"],
-        (beta, gamma, acc_prev, acc_final),
+        pubs,
         log_n,
     )
     values = list(user_vals)
@@ -261,23 +282,33 @@ def _quotient_chunk_coeffs(
         values.extend(lv)
     assert len(values) == circuit.constraint_count
 
-    # α-fold: value i gets α^(K-1-i) — Horner order on the verifier side
+    # α-fold: value i gets α^(K-1-i) — Horner order on the verifier side.
+    # Powers via lax.scan: an unrolled mul chain would blow up backend
+    # codegen time (see fields.device._pow_const).
     K = len(values)
-    apows = [he.one]
-    for _ in range(1, K):
-        apows.append(he.mul(apows[-1], alpha))
+    one = tuple(F.const(1 if d == 0 else 0, ()) for d in range(D))
+
+    def pow_body(acc, _):
+        return E.mul(acc, alpha_d), acc
+
+    _, apow_stack = jax.lax.scan(pow_body, one, None, length=K)
+    apows = [
+        tuple(tuple(pl[i] for pl in coord) for coord in apow_stack) for i in range(K)
+    ]
     coords = [F.const(0, ()) for _ in range(D)]
     for i, v in enumerate(values):
         ap = apows[K - 1 - i]
         v = jax.tree.map(lambda p: jnp.broadcast_to(p, (m,)), v)
         for d in range(D):
-            coords[d] = F.add(coords[d], F.mul(v, F.const(ap[d], ())))
-    inv_vanishing = F.from_np(sel_np.inv_vanishing)
-    coords = [F.mul(c, inv_vanishing) for c in coords]
+            coords[d] = F.add(coords[d], F.mul(v, ap[d]))
+    coords = [F.mul(c, selectors["inv_vanishing"]) for c in coords]
 
     # iDFT on the quotient coset -> Q coefficients; slice into q chunks
-    qmat = tuple(jnp.stack([coords[d][p] for d in range(D)], axis=0) for p in range(F.num_planes))
-    coeffs = engine.icoset_from_natural(qmat, qdom.log_n, qdom.shift)
+    shift = hf.mul(hf.generator, 1)
+    qmat = tuple(
+        jnp.stack([coords[d][p] for d in range(D)], axis=0) for p in range(F.num_planes)
+    )
+    coeffs = engine.icoset_from_natural(qmat, log_n + (q.bit_length() - 1), shift)
     rows = []
     for i in range(q):
         for d in range(D):

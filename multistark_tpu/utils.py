@@ -22,7 +22,50 @@ def reverse_bits(i: int, bits: int) -> int:
     return int(f"{i:0{bits}b}"[::-1], 2) if bits else 0
 
 
+_JIT_CACHE = {}
+_JIT_ENABLED = None
+
+
+def jit_enabled() -> bool:
+    """Stage-level jitting policy.  On TPU the big prover stages are jitted
+    (compile once per shape, reuse across proofs — transcript values enter
+    as arguments).  On CPU we run eagerly: XLA:CPU's LLVM codegen and
+    algebraic simplifier are superlinear in the depth of our u32 limb-mul
+    chains (observed: >20 chained Goldilocks muls in one fusion => minutes
+    of compile), while eager per-op execution is fine for test sizes.
+    Override with MULTISTARK_JIT=0/1."""
+    global _JIT_ENABLED
+    if _JIT_ENABLED is None:
+        import os
+
+        v = os.environ.get("MULTISTARK_JIT")
+        if v is not None:
+            _JIT_ENABLED = v not in ("0", "false", "off")
+        else:
+            _JIT_ENABLED = jax.default_backend() != "cpu"
+    return _JIT_ENABLED
+
+
+def cached_jit(key, make_fn):
+    """Build-and-cache a (possibly jitted) kernel once per key (ops objects
+    are singletons, so closures over them are safe); jax's own cache then
+    specializes per argument shapes, and the persistent compilation cache
+    works because no proof-varying values are baked into the trace."""
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = make_fn()
+        if jit_enabled():
+            fn = jax.jit(fn)
+        _JIT_CACHE[key] = fn
+    return fn
+
+
 def batch_inv(ops, x, axis: int = -1):
+    key = (getattr(ops, "name", id(ops)), "batch_inv", axis)
+    return cached_jit(key, lambda: lambda y: _batch_inv_impl(ops, y, axis))(x)
+
+
+def _batch_inv_impl(ops, x, axis: int = -1):
     """Montgomery-trick batch inverse along ``axis`` via two associative scans
     (log-depth on device) + one Fermat inverse.  Zero entries map to zero,
     matching p3_field::batch_multiplicative_inverse semantics (used at
@@ -104,3 +147,13 @@ def cumsum(ops, x, axis: int = -1):
     moved = jax.tree.map(lambda a: jnp.moveaxis(a, axis, 0), x)
     acc = jax.lax.associative_scan(ops.add, moved, axis=0)
     return jax.tree.map(lambda a: jnp.moveaxis(a, 0, axis), acc)
+
+
+def ext_scalar(E, v):
+    """Host extension value -> device ext scalar (shape-() planes), suitable
+    as a jit argument (NOT baked into the trace)."""
+    return tuple(E.base.from_np(np.uint64(c)) for c in v)
+
+
+def base_scalar(F, v: int):
+    return F.from_np(np.uint64(v))

@@ -142,16 +142,19 @@ def verify_multiple_claims(system: System, claims: Sequence[Sequence[int]], proo
         buf = sweep(circuit.graph, alg)
         user_vals = constraint_values(circuit.graph, buf)
         lvals = graph_lookup_values(circuit.graph, buf)
+        pubs_emb = tuple(
+            tuple(he.from_base(c) for c in v)
+            for v in (beta, gamma, acc_prev, acc_final)
+        )
         logup_vals = lk.logup_constraint_values(
             alg,
             config.extension_params,
             hf,
-            he,
             circuit.num_lookups,
             lambda col, off: var_provider(Source.STAGE2.value, col, off),
             lvals,
             sel.is_last_row,
-            (beta, gamma, acc_prev, acc_final),
+            pubs_emb,
             log_n,
         )
         values = list(user_vals)

@@ -79,7 +79,6 @@ class TestDirectVsSynthesized:
             alg,
             EP,
             F,
-            E,
             len(lookups),
             lambda col, off: var_fn(ex.Source.STAGE2.value, col, off),
             lookup_vals,
