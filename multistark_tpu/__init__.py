@@ -21,4 +21,13 @@ Architecture (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("MULTISTARK_PLATFORM"):
+    # select backend before first jax use (JAX_PLATFORMS alone is overridden
+    # by the axon plugin in this environment; the config update is honored)
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["MULTISTARK_PLATFORM"])
+
 from .config import CommitmentParameters, FriParameters  # noqa: F401

@@ -75,26 +75,31 @@ class NttEngine:
         holds [w_m^0 .. w_m^(m/2-1)] where w_m = g^(n/m)."""
         key = (log_n, inverse)
         if key not in self._tw:
-            g = self.host.two_adic_generator(log_n)
-            if inverse:
-                g = self.host.inv(g)
-            stages = []
-            for s in range(1, log_n + 1):
-                half = 1 << (s - 1)
-                w_m = self.host.pow(g, 1 << (log_n - s))
-                stages.append(self.F.from_np(np_powers(self.host, w_m, half)))
-            self._tw[key] = stages
+            # caches may be populated lazily during a jit trace: force
+            # concrete (compile-time) values so no tracer leaks into the cache
+            with jax.ensure_compile_time_eval():
+                g = self.host.two_adic_generator(log_n)
+                if inverse:
+                    g = self.host.inv(g)
+                stages = []
+                for s in range(1, log_n + 1):
+                    half = 1 << (s - 1)
+                    w_m = self.host.pow(g, 1 << (log_n - s))
+                    stages.append(self.F.from_np(np_powers(self.host, w_m, half)))
+                self._tw[key] = stages
         return self._tw[key]
 
     def brev(self, log_n: int) -> jnp.ndarray:
         if log_n not in self._brev:
-            self._brev[log_n] = jnp.asarray(bit_reverse_indices(log_n))
+            with jax.ensure_compile_time_eval():
+                self._brev[log_n] = jnp.asarray(bit_reverse_indices(log_n))
         return self._brev[log_n]
 
     def pow_table(self, base: int, n: int):
         key = (base % self.host.p, n)
         if key not in self._powcache:
-            self._powcache[key] = self.F.from_np(np_powers(self.host, base, n))
+            with jax.ensure_compile_time_eval():
+                self._powcache[key] = self.F.from_np(np_powers(self.host, base, n))
         return self._powcache[key]
 
     # -- core butterfly passes -------------------------------------------

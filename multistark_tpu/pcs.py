@@ -124,7 +124,8 @@ class TwoAdicFriPcs:
             mul = npref.gl_mul if self.hf.name == "Goldilocks" else npref.bb_mul
             tab = mul(np_powers(self.hf, g, 1 << log_n), np.uint64(s))
             tab = tab[bit_reverse_indices(log_n)]
-            self._x_storage[key] = self.F.from_np(tab)
+            with jax.ensure_compile_time_eval():
+                self._x_storage[key] = self.F.from_np(tab)
         return self._x_storage[key]
 
     def host_x_at(self, log_n: int, shift: int, storage_index: int) -> int:
