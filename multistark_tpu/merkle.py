@@ -95,7 +95,13 @@ class MerkleMmcs:
     # -- commit (device) --------------------------------------------------
     def commit(self, mats) -> Tuple[np.ndarray, MerkleProverData]:
         """mats: field matrices with planes (w, n), power-of-two heights.
-        Returns (cap (2^cap_height, 8) numpy, prover data)."""
+        Returns (cap (2^cap_height, 8) numpy, prover data).
+
+        The whole tree (leaf hashing + every compress level) is ONE jitted
+        kernel per dims-signature — per-level kernels would pay one backend
+        compile each (SURVEY.md §5 perf note; ~2x fewer compiles per proof)."""
+        from .utils import cached_jit
+
         dims = [(jax.tree.leaves(m)[0].shape[0], jax.tree.leaves(m)[0].shape[1]) for m in mats]
         heights = sorted({h for _, h in dims}, reverse=True)
         for h in heights:
@@ -104,6 +110,21 @@ class MerkleMmcs:
         log_max = max_h.bit_length() - 1
         assert max_h >= (1 << self.cap_height), "cap larger than tree"
 
+        key = (
+            "mmcs_commit",
+            type(self.hasher).__name__,
+            getattr(self.hasher, "F", None).__class__.__name__,
+            tuple(dims),
+            self.cap_height,
+        )
+        kern = cached_jit(key, lambda: lambda ms: self._commit_impl(ms, dims))
+        layers = kern(mats)
+        cap = np.asarray(jax.device_get(layers[-1]))
+        return cap, MerkleProverData(mats=list(mats), dims=dims, layers=layers, log_max=log_max)
+
+    def _commit_impl(self, mats, dims) -> List[jnp.ndarray]:
+        heights = sorted({h for _, h in dims}, reverse=True)
+        max_h = heights[0]
         by_height = {h: [m for m, (w, mh) in zip(mats, dims) if mh == h] for h in heights}
         layer = self.hasher.hash_matrices(by_height[max_h])
         layers = [layer]
@@ -115,8 +136,7 @@ class MerkleMmcs:
                 injected = self.hasher.hash_matrices(by_height[size])
                 layer = self.hasher.compress(layer, injected)
             layers.append(layer)
-        cap = np.asarray(jax.device_get(layers[-1]))
-        return cap, MerkleProverData(mats=list(mats), dims=dims, layers=layers, log_max=log_max)
+        return layers
 
     # -- open (device gathers, host assembly) -----------------------------
     def open_batch(self, data: MerkleProverData, indices: np.ndarray) -> List[BatchOpening]:

@@ -42,7 +42,7 @@ from .fields.host import HostExtField, HostField
 from .merkle import BatchOpening, MerkleMmcs, MerkleProverData
 from .ntt import get_engine
 from .ntt.ntt import np_powers
-from .utils import batch_inv, bit_reverse_indices, field_sum, reverse_bits
+from .utils import batch_inv, bit_reverse_indices, cached_jit, ext_scalar, field_sum, reverse_bits
 
 ExtVal = Tuple[int, ...]  # host extension element
 
@@ -128,6 +128,17 @@ class TwoAdicFriPcs:
                 self._x_storage[key] = self.F.from_np(tab)
         return self._x_storage[key]
 
+    def x_table_natural(self, log_n: int, shift: int):
+        """Coset points shift·g^i in natural order (device constant)."""
+        key = (log_n, shift % self.hf.p, "nat")
+        if key not in self._x_storage:
+            mul = npref.gl_mul if self.hf.name == "Goldilocks" else npref.bb_mul
+            g = self.hf.two_adic_generator(log_n)
+            tab = mul(np_powers(self.hf, g, 1 << log_n), np.uint64(shift))
+            with jax.ensure_compile_time_eval():
+                self._x_storage[key] = self.F.from_np(tab)
+        return self._x_storage[key]
+
     def host_x_at(self, log_n: int, shift: int, storage_index: int) -> int:
         g = self.hf.two_adic_generator(log_n)
         return self.hf.mul(shift, self.hf.pow(g, reverse_bits(storage_index, log_n)))
@@ -176,18 +187,37 @@ class TwoAdicFriPcs:
         E, F, he, hf = self.E, self.F, self.he, self.hf
 
         # -- Step A: claimed evaluations via small-domain barycentric
+        # One jitted kernel per (matrix shape, #points); z enters as a device
+        # scalar.  Values come to host for transcript observation.
         opened: List[List[List[List[ExtVal]]]] = []
+        dev_vals: List[List[object]] = []  # device (w, ?) coord arrays per matrix
         for data, points_list in rounds:
             round_vals: List[List[List[ExtVal]]] = []
+            round_dev: List[object] = []
             for m_idx, points in enumerate(points_list):
+                if not points:
+                    round_vals.append([])
+                    round_dev.append(None)
+                    continue
                 mat = data.mmcs_data.mats[m_idx]
                 log_n = data.log_trace_heights[m_idx]
-                small = self.engine.prefix_to_natural(mat, log_n)  # (w, n) on GEN·H_n
-                mat_vals: List[List[ExtVal]] = []
-                for z in points:
-                    mat_vals.append(self._barycentric_eval(small, log_n, z))
+                w = data.mmcs_data.dims[m_idx][0]
+                kern = cached_jit(
+                    ("pcs_eval", self.F.name, w, log_n, len(points)),
+                    lambda _ln=log_n: (
+                        lambda m_, zs: self._eval_kernel(m_, zs, _ln)
+                    ),
+                )
+                zs = tuple(ext_scalar(E, z) for z in points)
+                vals_dev = kern(mat, zs)  # P-tuple of ext (w,) values
+                round_dev.append(vals_dev)
+                mat_vals = []
+                for p_idx in range(len(points)):
+                    arr = E.to_np(vals_dev[p_idx])  # (w, D)
+                    mat_vals.append([tuple(int(c) for c in arr[j]) for j in range(w)])
                 round_vals.append(mat_vals)
             opened.append(round_vals)
+            dev_vals.append(round_dev)
 
         for round_vals in opened:
             for mat_vals in round_vals:
@@ -198,9 +228,10 @@ class TwoAdicFriPcs:
         alpha = challenger.sample_ext()
 
         # -- Step C: reduced openings per LDE height (device, bitrev order)
+        # One jitted kernel per matrix: ro contribution for all its points.
         ro: Dict[int, object] = {}
         offsets: Dict[int, int] = {}
-        for (data, points_list), round_vals in zip(rounds, opened):
+        for r_idx, (data, points_list) in enumerate(rounds):
             for m_idx, points in enumerate(points_list):
                 if not points:
                     continue
@@ -208,20 +239,23 @@ class TwoAdicFriPcs:
                 w = data.mmcs_data.dims[m_idx][0]
                 log_lde = data.log_trace_heights[m_idx] + self.log_blowup
                 alpha_pows = self._host_ext_powers(alpha, w)
-                u = self._fold_columns(mat, alpha_pows)  # ext (N,)
-                x_tab = self.x_table_storage(log_lde, hf.generator)
                 off = offsets.get(log_lde, 0)
-                for p_idx, z in enumerate(points):
-                    s_claim = he.zero
-                    for j, v in enumerate(round_vals[m_idx][p_idx]):
-                        s_claim = he.add(s_claim, he.mul(alpha_pows[j], v))
-                    diff = self._ext_sub_base_array(z, x_tab)  # z - x (ext (N,))
-                    inv_diff = batch_inv(E, diff, axis=0)
-                    num = E.sub(u, E.const(s_claim, jax.tree.leaves(u)[0].shape))
-                    contrib = E.mul(E.mul(num, inv_diff), E.const(he.neg(self._ext_pow(alpha, off)), jax.tree.leaves(u)[0].shape))
-                    # note: ro convention (p(x)-p(z))/(x-z) = -(u-S)/(z-x)
-                    ro[log_lde] = contrib if log_lde not in ro else E.add(ro[log_lde], contrib)
-                    off += w
+                kern = cached_jit(
+                    ("pcs_ro", self.F.name, w, log_lde, len(points)),
+                    lambda _ll=log_lde: (
+                        lambda m_, vd, zs, av, aoffs: self._ro_kernel(m_, vd, zs, av, aoffs, _ll)
+                    ),
+                )
+                ap = np.asarray([list(a) for a in alpha_pows], dtype=np.uint64)  # (w, D)
+                alpha_vec = tuple(self.F.from_np(ap[:, d]) for d in range(E.D))
+                zs = tuple(ext_scalar(E, z) for z in points)
+                aoffs = tuple(
+                    ext_scalar(E, he.neg(self._ext_pow(alpha, off + k * w)))
+                    for k in range(len(points))
+                )
+                contrib = kern(mat, dev_vals[r_idx][m_idx], zs, alpha_vec, aoffs)
+                ro[log_lde] = contrib if log_lde not in ro else E.add(ro[log_lde], contrib)
+                off += w * len(points)
                 offsets[log_lde] = off
 
         # -- Step D: FRI commit phase
@@ -246,7 +280,13 @@ class TwoAdicFriPcs:
             beta = challenger.sample_ext()
             betas.append(beta)
             shift_cur = self._shift_at(log_max_ro, log_size)
-            current = self._fold_pair(a, b, beta, log_size, shift_cur)
+            kern = cached_jit(
+                ("fri_fold", self.E.name, log_size, shift_cur % self.hf.p),
+                lambda _ls=log_size, _sc=shift_cur: (
+                    lambda a_, b_, bd: self._fold_pair(a_, b_, bd, _ls, _sc)
+                ),
+            )
+            current = kern(a, b, ext_scalar(self.E, beta))
             log_size -= 1
             if log_size in ro:
                 current = E.add(current, ro[log_size])
@@ -291,34 +331,69 @@ class TwoAdicFriPcs:
         )
         return opened, proof
 
-    # -- open helpers -----------------------------------------------------
-    def _barycentric_eval(self, small, log_n: int, z: ExtVal) -> List[ExtVal]:
-        """p_j(z) for all columns from natural-order evals on GEN·H_n:
-        p(z) = (z^n - s^n)/(n·s^n) · sum_i e_i·x_i/(z - x_i)."""
-        E, F, he, hf = self.E, self.F, self.he, self.hf
+    # -- open helpers (jitted kernels; proof-varying values are arguments) --
+    def _eval_kernel(self, mat, zs, log_n: int):
+        """Claimed evaluations by small-domain barycentric:
+        p(z) = (z^n - s^n)/(n·s^n) · Σ_i e_i·x_i/(z - x_i).
+        mat: stored bitrev LDE; zs: tuple of device ext scalars.
+        Returns a tuple of ext (w,) value arrays, one per point."""
+        E, F, hf = self.E, self.F, self.hf
+        small = self.engine.prefix_to_natural(mat, log_n)  # (w, n) on GEN·H_n
         n = 1 << log_n
         s = hf.generator
-        g = hf.two_adic_generator(log_n)
-        mulnp = npref.gl_mul if hf.name == "Goldilocks" else npref.bb_mul
-        x_np = mulnp(np_powers(hf, g, n), np.uint64(s))
-        x = F.from_np(x_np)
-        diff = self._ext_sub_base_array(z, x)  # z - x_i
-        inv_diff = batch_inv(E, diff, axis=0)
-        w_i = E.scale(inv_diff, x)  # x_i / (z - x_i)
+        x = self.x_table_natural(log_n, s)
         s_n = hf.pow(s, n)
-        zn = self.he.pow(z, n)
-        c = he.mul(he.sub(zn, he.from_base(s_n)), he.inv(he.from_base(hf.mul(n % hf.p, s_n))))
-        # all columns at once: out_d[j] = sum_i small[j,i]·w_d[i]
-        out_coords = []
-        for d in range(E.D):
-            prod = F.mul(small, jax.tree.map(lambda a: a[None, :], w_i[d]))
-            out_coords.append(field_sum(F, prod, axis=-1))  # (w,)
-        vals_np = np.stack([F.to_np(oc) for oc in out_coords], axis=-1)  # (w, D)
+        inv_ns = hf.inv(hf.mul(n % hf.p, s_n))
         out = []
-        for j in range(vals_np.shape[0]):
-            v = tuple(int(x_) for x_ in vals_np[j])
-            out.append(he.mul(c, v))
-        return out
+        for z in zs:
+            diff = self._ext_scalar_sub_base(z, x)  # z - x_i, ext (n,)
+            inv_diff = batch_inv(E, diff, axis=0)
+            w_i = E.scale(inv_diff, x)  # x_i / (z - x_i)
+            zn = z
+            for _ in range(log_n):
+                zn = E.square(zn)
+            c = E.scale(E.sub(zn, self._emb_base_const(s_n)), F.const(inv_ns, ()))
+            coords = []
+            for d in range(E.D):
+                prod = F.mul(small, jax.tree.map(lambda a: a[None, :], w_i[d]))
+                coords.append(field_sum(F, prod, axis=-1))  # (w,)
+            out.append(E.mul(tuple(coords), c))
+        return tuple(out)
+
+    def _ro_kernel(self, mat, vals_dev, zs, alpha_vec, aoffs, log_lde: int):
+        """Reduced-opening contribution of one matrix for all its points:
+        Σ_p (-α^{off_p})·(u - S_p) / (z_p - x) over the stored LDE, where
+        u = Σ_j α^j·col_j and S_p = Σ_j α^j·v_{p,j}."""
+        E, F, hf = self.E, self.F, self.hf
+        coords = []
+        for d in range(E.D):
+            prod = F.mul(mat, jax.tree.map(lambda a: a[:, None], alpha_vec[d]))
+            coords.append(field_sum(F, prod, axis=0))  # (N,)
+        u = tuple(coords)
+        x_full = self.x_table_storage(log_lde, hf.generator)
+        total = None
+        for p, z in enumerate(zs):
+            s_p = field_sum(E, E.mul(alpha_vec, vals_dev[p]), axis=0)  # ext scalar
+            diff = self._ext_scalar_sub_base(z, x_full)
+            inv_diff = batch_inv(E, diff, axis=0)
+            num = E.sub(u, s_p)
+            contrib = E.mul(E.mul(num, inv_diff), aoffs[p])
+            total = contrib if total is None else E.add(total, contrib)
+        return total
+
+    def _ext_scalar_sub_base(self, z, x):
+        """Device ext scalar minus base array -> ext array (broadcast)."""
+        E, F = self.E, self.F
+        shape = jax.tree.leaves(x)[0].shape
+        coords = []
+        for d in range(E.D):
+            zd = jax.tree.map(lambda p: jnp.broadcast_to(p, shape), z[d])
+            coords.append(F.sub(zd, x) if d == 0 else zd)
+        return tuple(coords)
+
+    def _emb_base_const(self, v: int):
+        F, E = self.F, self.E
+        return (F.const(v, ()),) + tuple(F.const(0, ()) for _ in range(E.D - 1))
 
     def _host_ext_powers(self, alpha: ExtVal, count: int) -> List[ExtVal]:
         out = [self.he.one]
@@ -328,28 +403,6 @@ class TwoAdicFriPcs:
 
     def _ext_pow(self, alpha: ExtVal, e: int) -> ExtVal:
         return self.he.pow(alpha, e)
-
-    def _fold_columns(self, mat, alpha_pows: List[ExtVal]):
-        """u_i = sum_j α^j·mat[j, i] as an ext array of shape (N,)."""
-        E, F = self.E, self.F
-        w = jax.tree.leaves(mat)[0].shape[0]
-        coords = []
-        ap = np.asarray([list(a) for a in alpha_pows], dtype=np.uint64)  # (w, D)
-        for d in range(E.D):
-            wd = F.from_np(ap[:, d])  # (w,)
-            prod = F.mul(mat, jax.tree.map(lambda a: a[:, None], wd))
-            coords.append(field_sum(F, prod, axis=0))  # (N,)
-        return tuple(coords)
-
-    def _ext_sub_base_array(self, z: ExtVal, x):
-        """ext scalar z minus base array x -> ext array."""
-        E, F = self.E, self.F
-        shape = jax.tree.leaves(x)[0].shape
-        coords = []
-        for d in range(E.D):
-            zd = F.const(z[d], shape)
-            coords.append(F.sub(zd, x) if d == 0 else zd)
-        return tuple(coords)
 
     def _ext_pair_matrix(self, a, b):
         """Flatten two ext vectors into one base matrix (2D, N/2):
@@ -361,17 +414,18 @@ class TwoAdicFriPcs:
             planes.append(jnp.stack(rows, axis=0))
         return tuple(planes)
 
-    def _fold_pair(self, a, b, beta: ExtVal, log_size: int, shift: int):
+    def _fold_pair(self, a, b, beta_d, log_size: int, shift: int):
         """(a+b)/2 + β·(a-b)/(2x) over storage-paired entries; `shift` is the
-        current (already-squared) coset shift at this fold level."""
+        current (already-squared) coset shift at this fold level.  β arrives
+        as a device scalar so the compiled fold is proof-independent."""
         E, F, hf = self.E, self.F, self.hf
         half_inv = hf.inv(2)
         inv_x = self.x_table_storage(log_size, shift, inverse=True)
         inv_x_even = jax.tree.map(lambda t: t[0::2], inv_x)
-        s = E.scale(E.add(a, b), F.const(half_inv, jax.tree.leaves(inv_x_even)[0].shape))
-        d = E.scale(E.sub(a, b), F.mul(inv_x_even, F.const(half_inv, jax.tree.leaves(inv_x_even)[0].shape)))
         shape = jax.tree.leaves(inv_x_even)[0].shape
-        return E.add(s, E.mul(d, E.const(beta, shape)))
+        s = E.scale(E.add(a, b), F.const(half_inv, shape))
+        d = E.scale(E.sub(a, b), F.mul(inv_x_even, F.const(half_inv, shape)))
+        return E.add(s, E.mul(d, beta_d))
 
     def _final_poly_host(self, current, log_size: int, log_max_ro: int) -> List[ExtVal]:
         """Host iDFT of the remaining (tiny) fold vector -> coefficients.

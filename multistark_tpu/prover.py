@@ -234,7 +234,7 @@ def _quotient_chunk_coeffs(
     alpha_d = ext_scalar(E, alpha)
 
     kern = cached_jit(
-        ("quotient", id(circuit), log_n),
+        ("quotient", circuit.uid, log_n),
         lambda: lambda m_, s_, p_, a_: _quotient_kernel(
             config, circuit, log_n, q, m_, s_, p_, a_
         ),

@@ -32,6 +32,14 @@ class CircuitInputs:
     preprocessed: Optional[np.ndarray] = None  # (height, width) u64 row-major
 
 
+_CIRCUIT_UID = [0]
+
+
+def _next_circuit_uid() -> int:
+    _CIRCUIT_UID[0] += 1
+    return _CIRCUIT_UID[0]
+
+
 @dataclass
 class Circuit:
     """Compiled circuit (reference src/system.rs:52-88)."""
@@ -43,6 +51,12 @@ class Circuit:
     preprocessed_dims: Optional[Tuple[int, int]]  # (height, width)
     constraint_count: int
     max_constraint_degree: int
+    # stable identity for kernel caches (id() can be recycled after GC)
+    uid: int = 0
+
+    def __post_init__(self):
+        if self.uid == 0:
+            self.uid = _next_circuit_uid()
 
     @property
     def quotient_degree(self) -> int:
