@@ -110,6 +110,22 @@ class SerializingChallenger64:
 
     # -- grinding (deterministic; reference src/types.rs:43-81) ----------
     def grind(self, bits: int) -> int:
+        """Sequential-semantics witness search (witness = smallest passing
+        u64), executed as vectorized NumPy blake3 batches: each candidate's
+        flush hashes (input_buffer ‖ witness_le8) and the sample pops the
+        last 8 digest bytes.  Falls back to the scalar path on the rare
+        rejection-sampling miss."""
+        if bits == 0:
+            ok = self.check_witness(0, 0)
+            assert ok
+            return 0
+        w = self._grind_batch(bits)
+        if w is not None and self.clone().check_witness(bits, w):
+            self.observe_field(w)
+            took = self.sample_bits(bits)
+            assert took == 0
+            return w
+        # scalar fallback (handles >2^64-p rejection edge cases)
         w = 0
         while True:
             probe = self.clone()
@@ -119,6 +135,51 @@ class SerializingChallenger64:
                 assert ok
                 return w
             w += 1
+
+    def _grind_batch(self, bits: int):
+        import numpy as np
+
+        from .hash.blake3 import CHUNK_LEN, np_hash_single_chunk
+
+        prefix = bytes(self.inner.input_buffer)
+        if (len(prefix) + 8) % 4 != 0 or len(prefix) + 8 > CHUNK_LEN:
+            return None
+        batch = 4 << bits
+        start = 0
+        mask = (1 << bits) - 1
+        for _ in range(64):
+            cands = np.arange(start, start + batch, dtype=np.uint64)
+            pre_words = np.frombuffer(
+                prefix + b"\0" * ((-len(prefix)) % 4), dtype="<u4"
+            )
+            # witness occupies the 8 bytes right after the prefix (prefix is
+            # byte-aligned to 4 in practice: chaining output is 32 bytes)
+            if len(prefix) % 4 != 0:
+                return None
+            W = len(prefix) // 4 + 2
+            words = np.zeros((batch, W), np.uint32)
+            words[:, : len(pre_words)] = pre_words
+            words[:, -2] = (cands & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            words[:, -1] = (cands >> np.uint64(32)).astype(np.uint32)
+            digests = np_hash_single_chunk(words, len(prefix) + 8)
+            # sample_array(8) pops digest bytes 31,30,...,24; little-endian of
+            # that popped sequence is the u64 draw
+            d7 = digests[:, 7].astype(np.uint64)
+            d6 = digests[:, 6].astype(np.uint64)
+            b_ = [(d7 >> np.uint64(8 * i)) & np.uint64(0xFF) for i in range(4)]
+            c_ = [(d6 >> np.uint64(8 * i)) & np.uint64(0xFF) for i in range(4)]
+            # popped order: [31,30,29,28,27,26,25,24] = d7 bytes high->low,
+            # then d6 bytes high->low
+            popped = [b_[3], b_[2], b_[1], b_[0], c_[3], c_[2], c_[1], c_[0]]
+            val = np.zeros(batch, np.uint64)
+            for i, byte in enumerate(popped):
+                val |= byte << np.uint64(8 * i)
+            ok = (val < np.uint64(self.F.p)) & ((val & np.uint64(mask)) == 0)
+            idx = np.nonzero(ok)[0]
+            if len(idx):
+                return int(cands[idx[0]])
+            start += batch
+        return None
 
     def check_witness(self, bits: int, witness: int) -> bool:
         self.observe_field(witness)

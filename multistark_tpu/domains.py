@@ -55,7 +55,7 @@ class TwoAdicCoset:
         way from a same-shift domain): multiply the shift by the field
         generator (p3 convention, used for the quotient domain at reference
         src/prover.rs:452-453)."""
-        log = max(1, (min_size - 1).bit_length())
+        log = (min_size - 1).bit_length()  # log2_ceil
         return TwoAdicCoset(self.field, log, self.field.mul(self.shift, self.field.generator))
 
     # -- selectors ---------------------------------------------------------

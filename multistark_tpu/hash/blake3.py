@@ -286,6 +286,66 @@ _hash_words_jit = jax.jit(Blake3Device._hash_words_impl)
 _compress_pairs_jit = jax.jit(Blake3Device._compress_pairs_impl)
 
 
+# --- vectorized NumPy implementation (host-side batch work: PoW grinding) ----
+
+def _np_g(st, a, b, c, d, mx, my):
+    u = np.uint32
+    with np.errstate(over="ignore"):
+        st[a] = st[a] + st[b] + mx
+        x = st[d] ^ st[a]
+        st[d] = (x >> u(16)) | (x << u(16))
+        st[c] = st[c] + st[d]
+        x = st[b] ^ st[c]
+        st[b] = (x >> u(12)) | (x << u(20))
+        st[a] = st[a] + st[b] + my
+        x = st[d] ^ st[a]
+        st[d] = (x >> u(8)) | (x << u(24))
+        st[c] = st[c] + st[d]
+        x = st[b] ^ st[c]
+        st[b] = (x >> u(7)) | (x << u(25))
+
+
+def np_compress_batch(cv, block, counter: int, block_len: int, flags: int):
+    """cv: list of 8 (B,) uint32; block: list of 16 (B,) uint32."""
+    u = np.uint32
+    B = cv[0].shape[0]
+    st = list(cv) + [
+        np.full(B, IV[0], u), np.full(B, IV[1], u), np.full(B, IV[2], u), np.full(B, IV[3], u),
+        np.full(B, counter & _M32, u), np.full(B, (counter >> 32) & _M32, u),
+        np.full(B, block_len, u), np.full(B, flags, u),
+    ]
+    m = list(block)
+    for _ in range(7):
+        _np_g(st, 0, 4, 8, 12, m[0], m[1])
+        _np_g(st, 1, 5, 9, 13, m[2], m[3])
+        _np_g(st, 2, 6, 10, 14, m[4], m[5])
+        _np_g(st, 3, 7, 11, 15, m[6], m[7])
+        _np_g(st, 0, 5, 10, 15, m[8], m[9])
+        _np_g(st, 1, 6, 11, 12, m[10], m[11])
+        _np_g(st, 2, 7, 8, 13, m[12], m[13])
+        _np_g(st, 3, 4, 9, 14, m[14], m[15])
+        m = [m[p] for p in MSG_PERM]
+    return [st[i] ^ st[i + 8] for i in range(8)]
+
+
+def np_hash_single_chunk(words: np.ndarray, n_bytes: int) -> np.ndarray:
+    """Full blake3 of <=1024-byte messages, vectorized: words (B, W) uint32.
+    Returns (B, 8) digests."""
+    B, W = words.shape
+    assert n_bytes <= CHUNK_LEN
+    n_blocks = max(1, (n_bytes + BLOCK_LEN - 1) // BLOCK_LEN)
+    if W < n_blocks * 16:
+        words = np.concatenate([words, np.zeros((B, n_blocks * 16 - W), np.uint32)], axis=1)
+    cv = [np.full(B, IV[i], np.uint32) for i in range(8)]
+    for b in range(n_blocks):
+        flags = (CHUNK_START if b == 0 else 0) | (
+            (CHUNK_END | ROOT) if b == n_blocks - 1 else 0
+        )
+        blen = min(BLOCK_LEN, n_bytes - b * BLOCK_LEN)
+        cv = np_compress_batch(cv, [words[:, 16 * b + i] for i in range(16)], 0, blen, flags)
+    return np.stack(cv, axis=1)
+
+
 def digest_to_bytes(digest_row: np.ndarray) -> bytes:
     """(8,) uint32 -> 32 bytes (little-endian words)."""
     return b"".join(int(w).to_bytes(4, "little") for w in np.asarray(digest_row, np.uint32))

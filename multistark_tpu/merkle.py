@@ -140,21 +140,24 @@ class MerkleMmcs:
 
     # -- open (device gathers, host assembly) -----------------------------
     def open_batch(self, data: MerkleProverData, indices: np.ndarray) -> List[BatchOpening]:
-        """Open all `indices` (leaf-level, < max_height) in one pass."""
+        """Open all `indices` (leaf-level, < max_height) in one pass.
+        All gathers dispatch asynchronously; ONE device_get syncs the lot."""
         indices = np.asarray(indices, np.int64)
         path_len = data.log_max - self.cap_height
-        sib_layers = []
+        sib_dev = []
         for l in range(path_len):
             idx_l = jnp.asarray(indices >> l)
-            sib_layers.append(np.asarray(jax.device_get(data.layers[l][idx_l ^ 1])))
-        rows_per_mat = []
+            sib_dev.append(data.layers[l][idx_l ^ 1])
+        rows_dev = []
         for m, (w, h) in zip(data.mats, data.dims):
             shift = data.log_max - (h.bit_length() - 1)
             ridx = jnp.asarray(indices >> shift)
-            rows = jax.tree.map(lambda pl: pl[:, ridx], m)  # planes (w, Q)
-            # -> (Q, w) u64 via the field's to_np
-            arr = _mat_cols_to_np(self._field_of(m), rows)
-            rows_per_mat.append(arr)
+            rows_dev.append(jax.tree.map(lambda pl: pl[:, ridx], m))  # planes (w, Q)
+        sib_host, rows_host = jax.device_get((sib_dev, rows_dev))
+        sib_layers = [np.asarray(s) for s in sib_host]
+        rows_per_mat = [
+            _host_planes_to_u64(self._field_of(m), planes) for m, planes in zip(data.mats, rows_host)
+        ]
         out = []
         for qi in range(len(indices)):
             path = np.stack([sib_layers[l][qi] for l in range(path_len)]) if path_len else np.zeros((0, 8), np.uint32)
@@ -209,6 +212,12 @@ class MerkleMmcs:
         return bool(np.array_equal(cap[idx], node))
 
 
-def _mat_cols_to_np(F, planes) -> np.ndarray:
-    """Field matrix planes (w, Q) -> uint64 numpy (w, Q)."""
-    return F.to_np(planes)
+def _host_planes_to_u64(F, planes) -> np.ndarray:
+    """Already-fetched host planes (w, Q) -> uint64 numpy (w, Q)."""
+    if F.num_planes == 2:
+        lo = np.asarray(planes[0], np.uint64)
+        hi = np.asarray(planes[1], np.uint64)
+        return lo | (hi << np.uint64(32))
+    # single-plane fields may store a non-canonical internal form (BabyBear
+    # Montgomery) — route through the field's converter
+    return F.to_np(tuple(jnp.asarray(p) for p in planes))
