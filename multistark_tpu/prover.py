@@ -4,7 +4,23 @@ SURVEY.md §3.3).
 Device work happens in the big stages (stage-1 commit, stage-2 lookup
 traces + commit, quotient evaluation + commit, FRI open); the Fiat-Shamir
 challenger runs on host between them — 5 host↔device round-trips per proof,
-one per commit/sample boundary (SURVEY.md §7.0)."""
+one per commit/sample boundary (SURVEY.md §7.0).
+
+Analytic cost model (the reference's, src/prover.rs:51-178, adapted):
+with per-circuit height n, width W, blowup B = 2^b, quotient degree q,
+constraint count k, FRI queries Q, rounds R ≈ log2(n·B):
+
+  C_prove ≈ Σ_c (B+1)·n·log2(n)·W        (LDE NTTs: iDFT + padded DFT)
+          + Σ_c 2·n·B·W                   (Merkle leaf hash + compress)
+          + Σ_c n·L·(fp + inv)            (stage-2 messages + batch inverse)
+          + Σ_c n·q·eval_cost(k)          (quotient sweep on the coset)
+          + Σ_c n·B·W·D                   (reduced-opening folds)
+          + Σ_r n_r·B                     (FRI fold layers, geometric)
+          + Q·R·log2(n·B)                 (query phase Merkle paths)
+          + 2^commit_pow·R + 2^query_pow  (grinding)
+
+All terms are embarrassingly parallel over rows on device except the
+geometric FRI tail and the O(Q·R) query gathers."""
 
 from __future__ import annotations
 

@@ -137,6 +137,27 @@ class System:
         system = System(config, circuits, cap, pre_index)
         return system, ProverKey(preprocessed_data=data, preprocessed_mats_device=pre_mats)
 
+    # -- ergonomic entry points (reference lib surface, SURVEY.md §1 L7) --
+    def prove(self, key, witness, claims=None):
+        from .prover import prove_multiple_claims
+
+        return prove_multiple_claims(self, key, witness, [claims] if claims else [])
+
+    def prove_multiple_claims(self, key, witness, claims):
+        from .prover import prove_multiple_claims
+
+        return prove_multiple_claims(self, key, witness, claims)
+
+    def verify(self, proof, claims=None) -> None:
+        from .verifier import verify_multiple_claims
+
+        verify_multiple_claims(self, [claims] if claims else [], proof)
+
+    def verify_multiple_claims(self, claims, proof) -> None:
+        from .verifier import verify_multiple_claims
+
+        verify_multiple_claims(self, claims, proof)
+
     # -- transcript shape binding (reference src/system.rs:211-222) -------
     def observe_shape(self, challenger) -> None:
         challenger.observe_u64(len(self.circuits))

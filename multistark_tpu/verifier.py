@@ -7,7 +7,22 @@ verification, and the per-circuit out-of-domain consistency check
     composition(ζ) · Z_H(ζ)^{-1}  ==  Q(ζ) = Σ ζ^{i·n} · c_i(ζ)
 
 All host-side Python — verification is O(queries · log n) and transcript-
-bound, so there is nothing to batch on device."""
+bound, so there is nothing to batch on device.
+
+Soundness sketch (the reference's union bound, src/verifier.rs:36-160):
+for k constraints per circuit, extension degree D, N circuits and challenge
+field F_ext,   ε ≤ ε_FRI + (k - 1 + D + N) / |F_ext| :
+  - α-batching the k constraint quotients loses (k-1)/|F_ext|;
+  - the logUp argument loses D/|F_ext| per (β, γ) pair via the usual
+    multiset-fingerprint argument, plus one accumulator-telescoping term
+    per circuit (N/|F_ext| in total);
+  - ε_FRI is the standard two-adic FRI soundness at rate 2^-log_blowup with
+    `num_queries` queries and the configured grinding bits (conjectured
+    ~2^-100 at B=4, Q=100, PoW 10+10 for Goldilocks's ~2^128 extension).
+Sparse activation is sound because the bitmap is observed before any
+commitment and deactivated circuits contribute no lookup terms — a needed
+circuit's absence unbalances the channel sum, which the final-accumulator
+zero check catches (reference verifier.rs:135-153)."""
 
 from __future__ import annotations
 
