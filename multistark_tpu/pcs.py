@@ -89,7 +89,7 @@ class TwoAdicFriPcs:
         commitment_parameters: CommitmentParameters,
         fri_parameters: FriParameters,
     ):
-        assert fri_parameters.max_log_arity == 1, "only arity-2 folds implemented"
+        assert 1 <= fri_parameters.max_log_arity <= 4
         self.F = F
         self.E = E
         self.hf = host_field
@@ -267,27 +267,35 @@ class TwoAdicFriPcs:
         commit_datas: List[MerkleProverData] = []
         commit_pows: List[int] = []
         betas: List[ExtVal] = []
+        arities: List[int] = []
         log_size = log_max_ro
         while log_size > log_final:
-            a = jax.tree.map(lambda t: t[0::2], current)
-            b = jax.tree.map(lambda t: t[1::2], current)
-            pair_mat = self._ext_pair_matrix(a, b)
-            cap, mdata = self.mmcs.commit([pair_mat])
+            # arity 2^a per round, capped so we never fold below the final
+            # size and never skip over an input height that must be absorbed
+            a_bits = min(self.fri.max_log_arity, log_size - log_final)
+            for h in ro:
+                if log_size - a_bits < h < log_size:
+                    a_bits = log_size - h
+            A = 1 << a_bits
+            slices = [jax.tree.map(lambda t, j=j: t[j::A], current) for j in range(A)]
+            commit_mat = self._ext_slices_matrix(slices)
+            cap, mdata = self.mmcs.commit([commit_mat])
             caps.append(cap)
             commit_datas.append(mdata)
+            arities.append(a_bits)
             challenger.observe_commitment(cap)
             commit_pows.append(challenger.grind(self.fri.commit_proof_of_work_bits))
             beta = challenger.sample_ext()
             betas.append(beta)
             shift_cur = self._shift_at(log_max_ro, log_size)
             kern = cached_jit(
-                ("fri_fold", self.E.name, log_size, shift_cur % self.hf.p),
-                lambda _ls=log_size, _sc=shift_cur: (
-                    lambda a_, b_, bd: self._fold_pair(a_, b_, bd, _ls, _sc)
+                ("fri_fold", self.E.name, log_size, a_bits, shift_cur % self.hf.p),
+                lambda _ls=log_size, _ab=a_bits, _sc=shift_cur: (
+                    lambda cur, bd: self._fold_multi(cur, bd, _ls, _ab, _sc)
                 ),
             )
-            current = kern(a, b, ext_scalar(self.E, beta))
-            log_size -= 1
+            current = kern(current, ext_scalar(self.E, beta))
+            log_size -= a_bits
             if log_size in ro:
                 current = E.add(current, ro[log_size])
 
@@ -305,9 +313,11 @@ class TwoAdicFriPcs:
             per_round_openings.append(self.mmcs.open_batch(data.mmcs_data, idxs))
         per_level_openings = []
         drop = log_max - log_max_ro
+        bits_before = 0
         for l, mdata in enumerate(commit_datas):
-            idxs = np.asarray([(i >> (drop + l)) >> 1 for i in indices])
+            idxs = np.asarray([(i >> (drop + bits_before)) >> arities[l] for i in indices])
             per_level_openings.append(self.mmcs.open_batch(mdata, idxs))
+            bits_before += arities[l]
 
         query_proofs = []
         for qi in range(len(indices)):
@@ -404,28 +414,33 @@ class TwoAdicFriPcs:
     def _ext_pow(self, alpha: ExtVal, e: int) -> ExtVal:
         return self.he.pow(alpha, e)
 
-    def _ext_pair_matrix(self, a, b):
-        """Flatten two ext vectors into one base matrix (2D, N/2):
-        columns [a_0..a_{D-1}, b_0..b_{D-1}] (flatten_to_base convention)."""
+    def _ext_slices_matrix(self, slices):
+        """Flatten A ext vectors into one base matrix (A·D, N/A): columns
+        [s0_0..s0_{D-1}, s1_0.., ...] (flatten_to_base convention)."""
         planes = []
-        n_planes = self.F.num_planes
-        for p in range(n_planes):
-            rows = [a[d][p] for d in range(self.E.D)] + [b[d][p] for d in range(self.E.D)]
+        for p in range(self.F.num_planes):
+            rows = [s[d][p] for s in slices for d in range(self.E.D)]
             planes.append(jnp.stack(rows, axis=0))
         return tuple(planes)
 
-    def _fold_pair(self, a, b, beta_d, log_size: int, shift: int):
-        """(a+b)/2 + β·(a-b)/(2x) over storage-paired entries; `shift` is the
-        current (already-squared) coset shift at this fold level.  β arrives
-        as a device scalar so the compiled fold is proof-independent."""
+    def _fold_multi(self, current, beta_d, log_size: int, a_bits: int, shift: int):
+        """Arity-2^a fold as a chain of pair folds with β, β², β⁴, ...
+        Each pair step: (v_even+v_odd)/2 + β_s·(v_even-v_odd)/(2x)."""
         E, F, hf = self.E, self.F, self.hf
         half_inv = hf.inv(2)
-        inv_x = self.x_table_storage(log_size, shift, inverse=True)
-        inv_x_even = jax.tree.map(lambda t: t[0::2], inv_x)
-        shape = jax.tree.leaves(inv_x_even)[0].shape
-        s = E.scale(E.add(a, b), F.const(half_inv, shape))
-        d = E.scale(E.sub(a, b), F.mul(inv_x_even, F.const(half_inv, shape)))
-        return E.add(s, E.mul(d, beta_d))
+        beta_s = beta_d
+        for s in range(a_bits):
+            inv_x = self.x_table_storage(log_size - s, self.hf.exp_power_of_2(shift, s), inverse=True)
+            inv_x_even = jax.tree.map(lambda t: t[0::2], inv_x)
+            shape = jax.tree.leaves(inv_x_even)[0].shape
+            a = jax.tree.map(lambda t: t[0::2], current)
+            b = jax.tree.map(lambda t: t[1::2], current)
+            sm = E.scale(E.add(a, b), F.const(half_inv, shape))
+            df = E.scale(E.sub(a, b), F.mul(inv_x_even, F.const(half_inv, shape)))
+            current = E.add(sm, E.mul(df, beta_s))
+            if s + 1 < a_bits:
+                beta_s = E.square(beta_s)
+        return current
 
     def _final_poly_host(self, current, log_size: int, log_max_ro: int) -> List[ExtVal]:
         """Host iDFT of the remaining (tiny) fold vector -> coefficients.
@@ -471,14 +486,25 @@ class TwoAdicFriPcs:
         log_max = max(
             log_n + self.log_blowup for _, mats in rounds for log_n, _, _ in mats
         )
-        log_max_ro = max(
+        heights = {
             log_n + self.log_blowup
             for _, mats in rounds
             for log_n, _, pts in mats
             if pts
-        )
+        }
+        log_max_ro = max(heights)
         log_final = self.log_blowup + fri.log_final_poly_len
-        n_folds = log_max_ro - log_final
+        # replay the prover's arity schedule (deterministic from shapes)
+        schedule: List[int] = []
+        ls = log_max_ro
+        while ls > log_final:
+            a_bits = min(fri.max_log_arity, ls - log_final)
+            for h in heights:
+                if ls - a_bits < h < ls:
+                    a_bits = ls - h
+            schedule.append(a_bits)
+            ls -= a_bits
+        n_folds = len(schedule)
         ensure(len(proof.commit_caps) == n_folds, "InvalidProofShape", "fold count")
         ensure(len(proof.commit_pow_witnesses) == n_folds, "InvalidProofShape", "pow count")
         betas = []
@@ -506,9 +532,11 @@ class TwoAdicFriPcs:
         ensure(len(proof.query_proofs) == len(indices), "InvalidProofShape", "query count")
 
         for index, qp in zip(indices, proof.query_proofs):
-            self._verify_query(rounds, alpha, betas, proof, index, qp, log_max, log_max_ro)
+            self._verify_query(
+                rounds, alpha, betas, proof, index, qp, log_max, log_max_ro, schedule
+            )
 
-    def _verify_query(self, rounds, alpha, betas, proof, index, qp, log_max, log_max_ro):
+    def _verify_query(self, rounds, alpha, betas, proof, index, qp, log_max, log_max_ro, schedule):
         he, hf = self.he, self.hf
         ensure(len(qp.input_openings) == len(rounds), "InvalidProofShape", "round count")
         ro: Dict[int, ExtVal] = {}
@@ -551,29 +579,31 @@ class TwoAdicFriPcs:
         log_size = log_max_ro
         pos = index >> (log_max - log_max_ro)
         value = ro.get(log_max_ro, he.zero)
-        half_inv = hf.inv(2)
-        for l, ((pair_row, path), beta) in enumerate(zip(qp.commit_openings, betas)):
-            D = self.he.D
-            ensure(len(pair_row) == 2 * D, "InvalidProofShape", "pair row width")
-            opening = BatchOpening(opened_rows=[np.asarray(pair_row, np.uint64)], path=path)
+        D = self.he.D
+        for l, ((row, path), beta, a_bits) in enumerate(
+            zip(qp.commit_openings, betas, schedule)
+        ):
+            A = 1 << a_bits
+            ensure(len(row) == A * D, "InvalidProofShape", "fold row width")
+            opening = BatchOpening(opened_rows=[np.asarray(row, np.uint64)], path=path)
             ensure(
                 self.mmcs.verify_batch(
-                    proof.commit_caps[l], [(2 * D, 1 << (log_size - 1))], pos >> 1, opening
+                    proof.commit_caps[l],
+                    [(A * D, 1 << (log_size - a_bits))],
+                    pos >> a_bits,
+                    opening,
                 ),
                 "InvalidOpeningArgument",
                 "commit-phase Merkle path",
             )
-            a = tuple(int(pair_row[d]) % hf.p for d in range(D))
-            b = tuple(int(pair_row[D + d]) % hf.p for d in range(D))
-            mine = b if pos & 1 else a
-            ensure(mine == value, "InvalidOpeningArgument", "fold consistency")
+            vals = [
+                tuple(int(row[j * D + d]) % hf.p for d in range(D)) for j in range(A)
+            ]
+            ensure(vals[pos & (A - 1)] == value, "InvalidOpeningArgument", "fold consistency")
             shift = self._shift_at(log_max_ro, log_size)
-            x_even = self.host_x_at(log_size, shift, pos & ~1)
-            s = he.scale(he.add(a, b), half_inv)
-            d = he.scale(he.sub(a, b), hf.mul(half_inv, hf.inv(x_even)))
-            value = he.add(s, he.mul(beta, d))
-            log_size -= 1
-            pos >>= 1
+            value = self._host_fold_block(vals, log_size, shift, pos & ~(A - 1), beta)
+            log_size -= a_bits
+            pos >>= a_bits
             if log_size in ro:
                 value = he.add(value, ro[log_size])
 
@@ -585,5 +615,28 @@ class TwoAdicFriPcs:
         ensure(acc == value, "InvalidOpeningArgument", "final poly mismatch")
 
     def _shift_at(self, log_max: int, log_size: int) -> int:
-        """LDE shift after (log_max - log_size) arity-2 folds: GENERATOR^(2^k)."""
+        """LDE shift after folding from log_max to log_size: GENERATOR^(2^k)."""
         return self.hf.exp_power_of_2(self.hf.generator, log_max - log_size)
+
+    def _host_fold_block(self, vals, log_m: int, shift: int, base: int, beta):
+        """Host mirror of _fold_multi for one query block: pair-fold the
+        2^k opened values with β, β², ... down to one value."""
+        he, hf = self.he, self.hf
+        half_inv = hf.inv(2)
+        b = base
+        while len(vals) > 1:
+            out = []
+            for i in range(len(vals) // 2):
+                x_even = self.host_x_at(log_m, shift, b + 2 * i)
+                s = he.scale(he.add(vals[2 * i], vals[2 * i + 1]), half_inv)
+                d = he.scale(
+                    he.sub(vals[2 * i], vals[2 * i + 1]), hf.mul(half_inv, hf.inv(x_even))
+                )
+                out.append(he.add(s, he.mul(beta, d)))
+            vals = out
+            log_m -= 1
+            shift = hf.mul(shift, shift)
+            b >>= 1
+            if len(vals) > 1:
+                beta = he.square(beta)
+        return vals[0]

@@ -146,3 +146,38 @@ class TestPcsRoundTrip:
         vch.observe_commitment(cap)
         rounds = [(cap, [(4, 3, []), (3, 2, [(zeta, opened[0][1][0])])])]
         pcs.verify(rounds, proof, vch)
+
+
+class TestHigherArity:
+    def test_arity_8_roundtrip_and_tamper(self):
+        pcs = TwoAdicFriPcs(
+            GL_OPS, GL2_OPS, F, E, Blake3FieldHasher(GL_OPS),
+            CommitmentParameters(log_blowup=2, cap_height=0),
+            FriParameters(log_final_poly_len=0, max_log_arity=3, num_queries=8,
+                          commit_proof_of_work_bits=2, query_proof_of_work_bits=2),
+        )
+        eng = get_engine(GL_OPS)
+        coeffs0 = RNG.integers(0, F.p, size=(3, 64), dtype=np.uint64)
+        coeffs1 = RNG.integers(0, F.p, size=(2, 8), dtype=np.uint64)
+        d0 = pcs.natural_domain_for_degree(64)
+        d1 = pcs.natural_domain_for_degree(8)
+        evals0 = eng.dft_natural(GL_OPS.from_np(coeffs0), 6)
+        evals1 = eng.dft_natural(GL_OPS.from_np(coeffs1), 3)
+        cap, data = pcs.commit([(d0, evals0), (d1, evals1)])
+        zeta = rand_ext()
+        ch = new_ch()
+        ch.observe_commitment(cap)
+        opened, proof = pcs.open([(data, [[zeta], [zeta]])], ch)
+        for j in range(3):
+            assert opened[0][0][0][j] == host_eval(coeffs0[j], zeta)
+        # mixed arities: 8->5 capped by the height-5 input (8-row matrix)
+        vch = new_ch()
+        vch.observe_commitment(cap)
+        rounds = [(cap, [(6, 3, [(zeta, opened[0][0][0])]), (3, 2, [(zeta, opened[0][1][0])])])]
+        pcs.verify(rounds, proof, vch)
+
+        proof.final_poly = [E.add(proof.final_poly[0], E.one)]
+        vch2 = new_ch()
+        vch2.observe_commitment(cap)
+        with pytest.raises(VerificationError):
+            pcs.verify(rounds, proof, vch2)
