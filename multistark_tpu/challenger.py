@@ -139,9 +139,13 @@ class SerializingChallenger64:
     def _grind_batch(self, bits: int):
         import numpy as np
 
-        from .hash.blake3 import CHUNK_LEN, np_hash_single_chunk
+        from .hash.blake3 import CHUNK_LEN, _native_lib, np_hash_single_chunk
 
         prefix = bytes(self.inner.input_buffer)
+        lib = _native_lib()
+        if lib is not None and len(prefix) + 8 <= 4096:
+            w = lib.msb3_grind(prefix, len(prefix), 0, 256 << bits, bits, self.F.p)
+            return None if w == (1 << 64) - 1 else int(w)
         if (len(prefix) + 8) % 4 != 0 or len(prefix) + 8 > CHUNK_LEN:
             return None
         batch = 4 << bits

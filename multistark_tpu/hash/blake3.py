@@ -15,11 +15,47 @@ against the host one.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_NATIVE: Optional[object] = None
+_NATIVE_TRIED = False
+
+
+def _native_lib():
+    """Lazily build + load the C accelerator (csrc/b3.c); None on failure."""
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    if os.environ.get("MULTISTARK_NO_NATIVE"):
+        return None
+    try:
+        root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        src = os.path.join(root, "csrc", "b3.c")
+        so = os.path.join(root, "csrc", "libmsb3.so")
+        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+            subprocess.run(
+                ["cc", "-O2", "-shared", "-fPIC", "-o", so, src],
+                check=True, capture_output=True, timeout=60,
+            )
+        lib = ctypes.CDLL(so)
+        lib.msb3_hash.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint8)]
+        lib.msb3_grind.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_uint64, ctypes.c_uint32, ctypes.c_uint64,
+        ]
+        lib.msb3_grind.restype = ctypes.c_uint64
+        _NATIVE = lib
+    except Exception:
+        _NATIVE = None
+    return _NATIVE
 
 IV = (
     0x6A09E667, 0xBB67AE85, 0x3C6EF372, 0xA54FF53A,
@@ -114,7 +150,17 @@ def _subtree_cv(data: bytes, counter0: int) -> List[int]:
 
 
 def blake3_hash(data: bytes) -> bytes:
-    """Full BLAKE3 hash, 32-byte output."""
+    """Full BLAKE3 hash, 32-byte output.  Uses the native C accelerator when
+    available (bit-identical; csrc/b3.c), pure Python otherwise."""
+    lib = _native_lib()
+    if lib is not None:
+        out = (ctypes.c_uint8 * 32)()
+        lib.msb3_hash(data, len(data), out)
+        return bytes(out)
+    return _blake3_hash_py(data)
+
+
+def _blake3_hash_py(data: bytes) -> bytes:
     n_chunks = max(1, (len(data) + CHUNK_LEN - 1) // CHUNK_LEN)
     if n_chunks == 1:
         cv = _chunk_cv(data, 0, root=True)
