@@ -139,9 +139,9 @@ class MerkleMmcs:
         return layers
 
     # -- open (device gathers, host assembly) -----------------------------
-    def open_batch(self, data: MerkleProverData, indices: np.ndarray) -> List[BatchOpening]:
-        """Open all `indices` (leaf-level, < max_height) in one pass.
-        All gathers dispatch asynchronously; ONE device_get syncs the lot."""
+    def gather_device(self, data: MerkleProverData, indices: np.ndarray):
+        """Dispatch (async) the sibling/row gathers for `indices`; pair with
+        `assemble` after a (batched) device_get."""
         indices = np.asarray(indices, np.int64)
         path_len = data.log_max - self.cap_height
         sib_dev = []
@@ -153,14 +153,24 @@ class MerkleMmcs:
             shift = data.log_max - (h.bit_length() - 1)
             ridx = jnp.asarray(indices >> shift)
             rows_dev.append(jax.tree.map(lambda pl: pl[:, ridx], m))  # planes (w, Q)
-        sib_host, rows_host = jax.device_get((sib_dev, rows_dev))
+        return (sib_dev, rows_dev)
+
+    def assemble(self, data: MerkleProverData, n_queries: int, fetched) -> List[BatchOpening]:
+        """Build per-query openings from already-fetched host values."""
+        sib_host, rows_host = fetched
         sib_layers = [np.asarray(s) for s in sib_host]
         rows_per_mat = [
-            _host_planes_to_u64(self._field_of(m), planes) for m, planes in zip(data.mats, rows_host)
+            _host_planes_to_u64(self._field_of(m), planes)
+            for m, planes in zip(data.mats, rows_host)
         ]
+        path_len = data.log_max - self.cap_height
         out = []
-        for qi in range(len(indices)):
-            path = np.stack([sib_layers[l][qi] for l in range(path_len)]) if path_len else np.zeros((0, 8), np.uint32)
+        for qi in range(n_queries):
+            path = (
+                np.stack([sib_layers[l][qi] for l in range(path_len)])
+                if path_len
+                else np.zeros((0, 8), np.uint32)
+            )
             out.append(
                 BatchOpening(
                     opened_rows=[rows_per_mat[mi][:, qi] for mi in range(len(data.mats))],
@@ -168,6 +178,13 @@ class MerkleMmcs:
                 )
             )
         return out
+
+    def open_batch(self, data: MerkleProverData, indices: np.ndarray) -> List[BatchOpening]:
+        """Open all `indices` (leaf-level, < max_height) in one pass.
+        All gathers dispatch asynchronously; ONE device_get syncs the lot."""
+        indices = np.asarray(indices, np.int64)
+        dev = self.gather_device(data, indices)
+        return self.assemble(data, len(indices), jax.device_get(dev))
 
     def _field_of(self, m):
         return self.hasher.F if hasattr(self.hasher, "F") else None

@@ -305,19 +305,30 @@ class TwoAdicFriPcs:
         query_pow = challenger.grind(self.fri.query_proof_of_work_bits)
         indices = [challenger.sample_bits(log_max) for _ in range(self.fri.num_queries)]
 
-        # -- Step E: query proofs (batched gathers)
-        per_round_openings = []
+        # -- Step E: query proofs — all trees' gathers dispatch async, then
+        # ONE device_get fetches everything
+        nq = len(indices)
+        round_devs = []
         for data, _ in rounds:
             shift = log_max - data.log_max_lde
             idxs = np.asarray([i >> shift for i in indices])
-            per_round_openings.append(self.mmcs.open_batch(data.mmcs_data, idxs))
-        per_level_openings = []
+            round_devs.append(self.mmcs.gather_device(data.mmcs_data, idxs))
+        level_devs = []
         drop = log_max - log_max_ro
         bits_before = 0
         for l, mdata in enumerate(commit_datas):
             idxs = np.asarray([(i >> (drop + bits_before)) >> arities[l] for i in indices])
-            per_level_openings.append(self.mmcs.open_batch(mdata, idxs))
+            level_devs.append(self.mmcs.gather_device(mdata, idxs))
             bits_before += arities[l]
+        round_host, level_host = jax.device_get((round_devs, level_devs))
+        per_round_openings = [
+            self.mmcs.assemble(data.mmcs_data, nq, fetched)
+            for (data, _), fetched in zip(rounds, round_host)
+        ]
+        per_level_openings = [
+            self.mmcs.assemble(mdata, nq, fetched)
+            for mdata, fetched in zip(commit_datas, level_host)
+        ]
 
         query_proofs = []
         for qi in range(len(indices)):
