@@ -184,6 +184,8 @@ class TwoAdicFriPcs:
     def open(self, rounds, challenger):
         """rounds: [(PcsProverData, points_per_matrix: [[ExtVal]])].
         Returns (opened_values[r][m][p] = [ExtVal per column], FriProof)."""
+        from .profiling import span
+
         E, F, he, hf = self.E, self.F, self.he, self.hf
 
         # -- Step A: claimed evaluations via small-domain barycentric
@@ -191,6 +193,8 @@ class TwoAdicFriPcs:
         # scalar.  Values come to host for transcript observation.
         opened: List[List[List[List[ExtVal]]]] = []
         dev_vals: List[List[object]] = []  # device (w, ?) coord arrays per matrix
+        _eval_span = span("stark/fri_open/eval")
+        _eval_span.__enter__()
         for data, points_list in rounds:
             round_vals: List[List[List[ExtVal]]] = []
             round_dev: List[object] = []
@@ -225,10 +229,13 @@ class TwoAdicFriPcs:
                     for v in pt_vals:
                         challenger.observe_ext(v)
 
+        _eval_span.__exit__(None, None, None)
         alpha = challenger.sample_ext()
 
         # -- Step C: reduced openings per LDE height (device, bitrev order)
         # One jitted kernel per matrix: ro contribution for all its points.
+        _ro_span = span("stark/fri_open/ro")
+        _ro_span.__enter__()
         ro: Dict[int, object] = {}
         offsets: Dict[int, int] = {}
         for r_idx, (data, points_list) in enumerate(rounds):
@@ -258,7 +265,11 @@ class TwoAdicFriPcs:
                 off += w * len(points)
                 offsets[log_lde] = off
 
+        _ro_span.__exit__(None, None, None)
+
         # -- Step D: FRI commit phase
+        _fold_span = span("stark/fri_open/fold")
+        _fold_span.__enter__()
         log_max = max(data.log_max_lde for data, _ in rounds)  # query index range
         log_max_ro = max(ro.keys())  # fold start (tallest matrix WITH openings)
         log_final = self.log_blowup + self.fri.log_final_poly_len
@@ -304,9 +315,12 @@ class TwoAdicFriPcs:
             challenger.observe_ext(c)
         query_pow = challenger.grind(self.fri.query_proof_of_work_bits)
         indices = [challenger.sample_bits(log_max) for _ in range(self.fri.num_queries)]
+        _fold_span.__exit__(None, None, None)
 
         # -- Step E: query proofs — all trees' gathers dispatch async, then
         # ONE device_get fetches everything
+        _q_span = span("stark/fri_open/queries")
+        _q_span.__enter__()
         nq = len(indices)
         round_devs = []
         for data, _ in rounds:
@@ -343,6 +357,7 @@ class TwoAdicFriPcs:
                 )
             )
 
+        _q_span.__exit__(None, None, None)
         proof = FriProof(
             commit_caps=caps,
             commit_pow_witnesses=commit_pows,
