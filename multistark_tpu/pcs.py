@@ -191,16 +191,13 @@ class TwoAdicFriPcs:
         # -- Step A: claimed evaluations via small-domain barycentric
         # One jitted kernel per (matrix shape, #points); z enters as a device
         # scalar.  Values come to host for transcript observation.
-        opened: List[List[List[List[ExtVal]]]] = []
         dev_vals: List[List[object]] = []  # device (w, ?) coord arrays per matrix
         _eval_span = span("stark/fri_open/eval")
         _eval_span.__enter__()
         for data, points_list in rounds:
-            round_vals: List[List[List[ExtVal]]] = []
             round_dev: List[object] = []
             for m_idx, points in enumerate(points_list):
                 if not points:
-                    round_vals.append([])
                     round_dev.append(None)
                     continue
                 mat = data.mmcs_data.mats[m_idx]
@@ -213,15 +210,26 @@ class TwoAdicFriPcs:
                     ),
                 )
                 zs = tuple(ext_scalar(E, z) for z in points)
-                vals_dev = kern(mat, zs)  # P-tuple of ext (w,) values
-                round_dev.append(vals_dev)
+                round_dev.append(kern(mat, zs))  # P-tuple of ext (w,) values
+            dev_vals.append(round_dev)
+        # one sync for every matrix's claimed values
+        host_vals = jax.device_get(dev_vals)
+        opened: List[List[List[List[ExtVal]]]] = []
+        for (data, points_list), round_host in zip(rounds, host_vals):
+            round_vals: List[List[List[ExtVal]]] = []
+            for m_idx, points in enumerate(points_list):
+                if not points:
+                    round_vals.append([])
+                    continue
                 mat_vals = []
                 for p_idx in range(len(points)):
-                    arr = E.to_np(vals_dev[p_idx])  # (w, D)
-                    mat_vals.append([tuple(int(c) for c in arr[j]) for j in range(w)])
+                    coords = round_host[m_idx][p_idx]  # D base elems of (w,)
+                    arr = np.stack(
+                        [self._host_coord_to_u64(c) for c in coords], axis=-1
+                    )  # (w, D)
+                    mat_vals.append([tuple(int(c) for c in row) for row in arr])
                 round_vals.append(mat_vals)
             opened.append(round_vals)
-            dev_vals.append(round_dev)
 
         for round_vals in opened:
             for mat_vals in round_vals:
@@ -426,6 +434,14 @@ class TwoAdicFriPcs:
             zd = jax.tree.map(lambda p: jnp.broadcast_to(p, shape), z[d])
             coords.append(F.sub(zd, x) if d == 0 else zd)
         return tuple(coords)
+
+    def _host_coord_to_u64(self, planes) -> np.ndarray:
+        """Already-fetched base-element planes -> uint64 (canonical)."""
+        if self.F.num_planes == 2:
+            lo = np.asarray(planes[0], np.uint64)
+            hi = np.asarray(planes[1], np.uint64)
+            return lo | (hi << np.uint64(32))
+        return self.F.to_np(tuple(jnp.asarray(p) for p in planes))
 
     def _emb_base_const(self, v: int):
         F, E = self.F, self.E
