@@ -94,17 +94,22 @@ def u32_add_witness(pairs: Sequence[Tuple[int, int]], height: int):
     """
     assert len(pairs) <= height and height & (height - 1) == 0
     rows = np.zeros((height, 14), np.uint64)
-    claims = []
-    for r, (x, y) in enumerate(pairs):
-        z = (x + y) & 0xFFFFFFFF
-        carry = (x + y) >> 32
+    k = len(pairs)
+    if k:
+        xs = np.fromiter((p[0] for p in pairs), np.uint64, count=k)
+        ys = np.fromiter((p[1] for p in pairs), np.uint64, count=k)
+        s = xs + ys
+        zs = s & np.uint64(0xFFFFFFFF)
         for i in range(4):
-            rows[r, i] = (x >> (8 * i)) & 0xFF
-            rows[r, 4 + i] = (y >> (8 * i)) & 0xFF
-            rows[r, 8 + i] = (z >> (8 * i)) & 0xFF
-        rows[r, 12] = carry
-        rows[r, 13] = 1
-        claims.append([U32_CHAN, x, y, z])
+            sh = np.uint64(8 * i)
+            rows[:k, i] = (xs >> sh) & np.uint64(0xFF)
+            rows[:k, 4 + i] = (ys >> sh) & np.uint64(0xFF)
+            rows[:k, 8 + i] = (zs >> sh) & np.uint64(0xFF)
+        rows[:k, 12] = s >> np.uint64(32)
+        rows[:k, 13] = 1
+        claims = [[U32_CHAN, int(x), int(y), int(z)] for x, y, z in zip(xs, ys, zs)]
+    else:
+        claims = []
     byte_mult = np.zeros(256, np.uint64)
     byte_cols = rows[:, 0:12].astype(np.int64).reshape(-1)
     np.add.at(byte_mult, byte_cols, 1)
