@@ -236,6 +236,8 @@ def _compute_lookup_values(
 ) -> lk.LookupValues:
     """Sweep the lookup prefix over the whole trace at once (the reference's
     per-row loop at system.rs:275-328, vectorized)."""
+    from .utils import cached_jit
+
     config = system.config
     circuit = system.circuits[c_idx]
     F = config.field
@@ -243,7 +245,20 @@ def _compute_lookup_values(
     log_n = height.bit_length() - 1
     pre_idx = system.preprocessed_index[c_idx]
     pre_mat = key.preprocessed_mats_device[pre_idx] if pre_idx is not None else None
+    sel_np = domain_selector_arrays(hf, log_n)
+    selectors = {k: F.from_np(v) for k, v in sel_np.items()}
 
+    kern = cached_jit(
+        ("witness_lookup", circuit.uid, height),
+        lambda: lambda main_, pre_, sel_: _lookup_values_kernel(
+            F, circuit, height, main_, pre_, sel_
+        ),
+    )
+    mults, args = kern(main_mat, pre_mat, selectors)
+    return lk.LookupValues(height=height, mults=list(mults), args=[list(a) for a in args])
+
+
+def _lookup_values_kernel(F, circuit, height, main_mat, pre_mat, selectors):
     def var_provider(source, col, offset):
         if source == Source.MAIN.value:
             mat = main_mat
@@ -257,9 +272,6 @@ def _compute_lookup_values(
             colv = jax.tree.map(lambda p: jnp.roll(p, -1), colv)
         return colv
 
-    sel_np = domain_selector_arrays(hf, log_n)
-    selectors = {k: F.from_np(v) for k, v in sel_np.items()}
-
     def publics(_):
         raise AssertionError("publics are not available during witness generation")
 
@@ -269,8 +281,8 @@ def _compute_lookup_values(
     args = []
     for m, a in circuit.graph.lookups:
         mults.append(_broadcast(F, buf[m], height))
-        args.append([_broadcast(F, buf[x], height) for x in a])
-    return lk.LookupValues(height=height, mults=mults, args=args)
+        args.append(tuple(_broadcast(F, buf[x], height) for x in a))
+    return tuple(mults), tuple(args)
 
 
 def _broadcast(F, v, n: int):
