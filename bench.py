@@ -42,9 +42,9 @@ def main():
     from multistark_tpu.test_circuits import u32_add_system_inputs, u32_add_witness
     from multistark_tpu.verifier import verify_multiple_claims
 
-    # default 2^12 keeps the cold axon-backend compile (~25 min) inside
-    # typical harness budgets; scale with BENCH_LOG_N=14..20
-    log_n = int(os.environ.get("BENCH_LOG_N", "12"))
+    # 2^14 = BASELINE.json's primary size; cold axon-backend compile is
+    # ~20 min (excluded from the metric via the warmup iteration)
+    log_n = int(os.environ.get("BENCH_LOG_N", "14"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     n = 1 << log_n
     log(f"bench: u32_add+byte_table at 2^{log_n} rows on {jax.default_backend()}")
