@@ -281,42 +281,88 @@ class TwoAdicFriPcs:
         log_max = max(data.log_max_lde for data, _ in rounds)  # query index range
         log_max_ro = max(ro.keys())  # fold start (tallest matrix WITH openings)
         log_final = self.log_blowup + self.fri.log_final_poly_len
+        # deterministic arity schedule (mirrored by the verifier): arity per
+        # round capped so we never fold below the final size and never skip
+        # an input height that must be absorbed
+        schedule: List[int] = []
+        ls = log_max_ro
+        while ls > log_final:
+            a_bits = min(self.fri.max_log_arity, ls - log_final)
+            for h in ro:
+                if ls - a_bits < h < ls:
+                    a_bits = ls - h
+            schedule.append(a_bits)
+            ls -= a_bits
+        arities = schedule
+
         current = ro[log_max_ro]
         caps: List[np.ndarray] = []
         commit_datas: List[MerkleProverData] = []
         commit_pows: List[int] = []
         betas: List[ExtVal] = []
-        arities: List[int] = []
         log_size = log_max_ro
-        while log_size > log_final:
-            # arity 2^a per round, capped so we never fold below the final
-            # size and never skip over an input height that must be absorbed
-            a_bits = min(self.fri.max_log_arity, log_size - log_final)
-            for h in ro:
-                if log_size - a_bits < h < log_size:
-                    a_bits = log_size - h
+
+        def commit_level(vec, a_bits, log_sz):
+            """Commit the arity-slice matrix of `vec` (one kernel)."""
             A = 1 << a_bits
-            slices = [jax.tree.map(lambda t, j=j: t[j::A], current) for j in range(A)]
-            commit_mat = self._ext_slices_matrix(slices)
-            cap, mdata = self.mmcs.commit([commit_mat])
-            caps.append(cap)
-            commit_datas.append(mdata)
-            arities.append(a_bits)
-            challenger.observe_commitment(cap)
+            slices = [jax.tree.map(lambda t, j=j: t[j::A], vec) for j in range(A)]
+            mat = self._ext_slices_matrix(slices)
+            return self.mmcs.commit([mat])
+
+        # round 0: commit only (nothing to fold yet)
+        cap, mdata = commit_level(current, schedule[0], log_size)
+        caps.append(cap)
+        commit_datas.append(mdata)
+
+        for r, a_bits in enumerate(schedule):
+            challenger.observe_commitment(caps[r])
             commit_pows.append(challenger.grind(self.fri.commit_proof_of_work_bits))
             beta = challenger.sample_ext()
             betas.append(beta)
             shift_cur = self._shift_at(log_max_ro, log_size)
-            kern = cached_jit(
-                ("fri_fold", self.E.name, log_size, a_bits, shift_cur % self.hf.p),
-                lambda _ls=log_size, _ab=a_bits, _sc=shift_cur: (
-                    lambda cur, bd: self._fold_multi(cur, bd, _ls, _ab, _sc)
-                ),
-            )
-            current = kern(current, ext_scalar(self.E, beta))
-            log_size -= a_bits
-            if log_size in ro:
-                current = E.add(current, ro[log_size])
+            next_log = log_size - a_bits
+            absorb = ro.get(next_log) if next_log in ro else None
+            if r + 1 < len(schedule):
+                # fused: fold with β, absorb any input height, slice + build
+                # the next round's whole Merkle tree — ONE kernel per round
+                next_a = schedule[r + 1]
+                A2 = 1 << next_a
+                width2 = A2 * E.D
+                h2 = 1 << (next_log - next_a)
+                kern = cached_jit(
+                    (
+                        "fri_fold_commit", self.E.name, log_size, a_bits, next_a,
+                        shift_cur % self.hf.p, absorb is not None,
+                        type(self.mmcs.hasher).__name__,
+                    ),
+                    lambda _ls=log_size, _ab=a_bits, _na=next_a, _sc=shift_cur: (
+                        lambda cur, bd, ab_: self._fold_commit_kernel(
+                            cur, bd, ab_, _ls, _ab, _na, _sc
+                        )
+                    ),
+                )
+                current, commit_mat, layers = kern(
+                    current, ext_scalar(E, beta), absorb
+                )
+                caps.append(np.asarray(jax.device_get(layers[-1])))
+                commit_datas.append(
+                    MerkleProverData(
+                        mats=[commit_mat],
+                        dims=[(width2, h2)],
+                        layers=layers,
+                        log_max=next_log - next_a,
+                    )
+                )
+            else:
+                kern = cached_jit(
+                    ("fri_fold", self.E.name, log_size, a_bits, shift_cur % self.hf.p,
+                     absorb is not None),
+                    lambda _ls=log_size, _ab=a_bits, _sc=shift_cur: (
+                        lambda cur, bd, ab_: self._fold_absorb(cur, bd, ab_, _ls, _ab, _sc)
+                    ),
+                )
+                current = kern(current, ext_scalar(E, beta), absorb)
+            log_size = next_log
 
         final_poly = self._final_poly_host(current, log_size, log_max_ro)
         for c in final_poly:
@@ -464,6 +510,26 @@ class TwoAdicFriPcs:
             rows = [s[d][p] for s in slices for d in range(self.E.D)]
             planes.append(jnp.stack(rows, axis=0))
         return tuple(planes)
+
+    def _fold_absorb(self, current, beta_d, absorb, log_size: int, a_bits: int, shift: int):
+        folded = self._fold_multi(current, beta_d, log_size, a_bits, shift)
+        if absorb is not None:
+            folded = self.E.add(folded, absorb)
+        return folded
+
+    def _fold_commit_kernel(
+        self, current, beta_d, absorb, log_size: int, a_bits: int, next_a: int, shift: int
+    ):
+        """Fold with β (+ absorb), then slice and build the next level's
+        entire Merkle tree — the fused per-round FRI kernel."""
+        folded = self._fold_absorb(current, beta_d, absorb, log_size, a_bits, shift)
+        A2 = 1 << next_a
+        slices = [jax.tree.map(lambda t, j=j: t[j::A2], folded) for j in range(A2)]
+        mat = self._ext_slices_matrix(slices)
+        width = A2 * self.E.D
+        height = 1 << (log_size - a_bits - next_a)
+        layers = self.mmcs._commit_impl([mat], [(width, height)])
+        return folded, mat, layers
 
     def _fold_multi(self, current, beta_d, log_size: int, a_bits: int, shift: int):
         """Arity-2^a fold as a chain of pair folds with β, β², β⁴, ...
