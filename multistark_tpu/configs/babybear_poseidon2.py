@@ -1,6 +1,10 @@
 """Test config on the second genericity axis: BabyBear + degree-4 extension,
 Poseidon2-16 hashing, field-native duplex challenger — "to prove the
-protocol is actually generic" (reference src/test_circuits/baby_bear_config.rs:1-7)."""
+protocol is actually generic" (reference src/test_circuits/baby_bear_config.rs:1-7).
+
+TEST-ONLY: the Poseidon2 round constants are self-derived (security-checked
+but not externally vetted; see hash/poseidon2.py) — do not use this config
+in production."""
 
 from __future__ import annotations
 

@@ -97,12 +97,19 @@ class HostExtField:
         self.w = w
         self.name = name
         p = base.p
-        # binomial irreducibility: for each prime q | D, W must not be a q-th
-        # power; if 4 | D additionally p ≡ 1 (mod 4).
-        for q in {2} if degree in (2, 4) else set():
-            assert pow(w, (p - 1) // q, p) != 1, f"X^{degree}-{w} reducible"
+        # binomial irreducibility (Lang, Alg. VI §9): X^D - W irreducible iff
+        # W is not a q-th power for every prime q | D, AND (when 4 | D)
+        # W ∉ -4·F^4.  We support D ∈ {2, 4} (both have q=2 only).
+        assert degree in (2, 4), f"unsupported extension degree {degree}"
+        assert pow(w, (p - 1) // 2, p) != 1, f"X^{degree}-{w} reducible (W is a square)"
         if degree % 4 == 0:
             assert p % 4 == 1
+            # W = -4c^4 ⟺ -W/4 is a fourth power; p ≡ 1 (mod 4) so the
+            # fourth-power test is t^((p-1)/4) == 1
+            t = (-w * pow(4, p - 2, p)) % p
+            assert pow(t, (p - 1) // 4, p) != 1, (
+                f"X^{degree}-{w} reducible (W ∈ -4·F^4)"
+            )
 
     # -- embedding --------------------------------------------------------
     def from_base(self, a: int) -> Tuple[int, ...]:

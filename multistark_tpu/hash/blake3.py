@@ -392,6 +392,55 @@ def np_hash_single_chunk(words: np.ndarray, n_bytes: int) -> np.ndarray:
     return np.stack(cv, axis=1)
 
 
+def np_hash_words(words: np.ndarray) -> np.ndarray:
+    """Full blake3 of (B, W) uint32 word messages (multi-chunk capable),
+    vectorized over B — the NumPy mirror of Blake3Device._hash_words_impl,
+    used by the batched verifier."""
+    B, W = words.shape
+    n_bytes = W * 4
+    n_chunks = max(1, (n_bytes + CHUNK_LEN - 1) // CHUNK_LEN)
+    if n_chunks == 1:
+        return np_hash_single_chunk(words, n_bytes)
+    pad_w = n_chunks * 256 - W
+    padded = np.concatenate([words, np.zeros((B, pad_w), np.uint32)], axis=1)
+    chunks = padded.reshape(B, n_chunks, 256)
+    cvs = []
+    for c in range(n_chunks):
+        cb = min(CHUNK_LEN, n_bytes - c * CHUNK_LEN)
+        n_blocks = max(1, (cb + BLOCK_LEN - 1) // BLOCK_LEN)
+        cv = [np.full(B, IV[i], np.uint32) for i in range(8)]
+        for b in range(n_blocks):
+            flags = (CHUNK_START if b == 0 else 0) | (
+                CHUNK_END if b == n_blocks - 1 else 0
+            )
+            blen = min(BLOCK_LEN, cb - b * BLOCK_LEN)
+            cv = np_compress_batch(
+                cv, [chunks[:, c, 16 * b + i] for i in range(16)], c, blen, flags
+            )
+        cvs.append(cv)
+
+    def tree(sub, is_root):
+        if len(sub) == 1:
+            return sub[0]
+        split = _left_len(len(sub))
+        left = tree(sub[:split], False)
+        right = tree(sub[split:], False)
+        cv = [np.full(B, IV[i], np.uint32) for i in range(8)]
+        flags = PARENT | (ROOT if is_root else 0)
+        return np_compress_batch(cv, left + right, 0, BLOCK_LEN, flags)
+
+    return np.stack(tree(cvs, True), axis=1)
+
+
+def np_compress_pairs(left: np.ndarray, right: np.ndarray) -> np.ndarray:
+    """Merkle 2-to-1 batched on host: (B, 8)+(B, 8) -> (B, 8)."""
+    B = left.shape[0]
+    block = [left[:, i] for i in range(8)] + [right[:, i] for i in range(8)]
+    cv = [np.full(B, IV[i], np.uint32) for i in range(8)]
+    out = np_compress_batch(cv, block, 0, BLOCK_LEN, CHUNK_START | CHUNK_END | ROOT)
+    return np.stack(out, axis=1)
+
+
 def digest_to_bytes(digest_row: np.ndarray) -> bytes:
     """(8,) uint32 -> 32 bytes (little-endian words)."""
     return b"".join(int(w).to_bytes(4, "little") for w in np.asarray(digest_row, np.uint32))

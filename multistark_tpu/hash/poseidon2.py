@@ -8,8 +8,14 @@ standard M4; internal matrix = diag(d) + all-ones (y_i = d_i·x_i + Σx).
 
 Round constants are derived deterministically from BLAKE3 of a domain tag
 (documented, self-consistent across host and device; the reference's exact
-p3 constants are not reproduced — cross-implementation fixtures would be
-needed to pin them, which this environment cannot generate).
+p3 constants are not reproduced — they are not available in this offline
+environment, and cross-implementation fixtures would be needed to pin
+them).  The derived internal matrix is verified against the Poseidon2
+security conditions (invertible; irreducible characteristic polynomial, so
+no proper invariant subspace exists — see _internal_matrix_secure).  This
+instantiation is for the genericity/test config ONLY (it intentionally
+differs from p3's pinned constants); do not promote it to a production
+config without replacing the constants with externally vetted ones.
 
 Host (python int) and device (Montgomery u32 arrays) implementations are
 pinned against each other in tests.
@@ -53,14 +59,144 @@ def _derive_constants() -> dict:
 
     ext = stream(b"multistark/poseidon2-babybear16/external", ROUNDS_F * WIDTH)
     internal = stream(b"multistark/poseidon2-babybear16/internal", ROUNDS_P)
-    # internal diagonal: nonzero, first entry conventionally p-2 scale-free;
-    # derived like the rest but rejecting 0
-    diag = [d if d != 0 else 1 for d in stream(b"multistark/poseidon2-babybear16/diag", WIDTH)]
+    # internal diagonal: derived like the rest, then subjected to the
+    # Poseidon2 internal-matrix security conditions (invertibility +
+    # irreducible characteristic polynomial => no proper invariant
+    # subspaces); re-derive with a bumped tag until they hold
+    attempt = 0
+    while True:
+        tag = b"multistark/poseidon2-babybear16/diag" + (
+            b"" if attempt == 0 else attempt.to_bytes(2, "little")
+        )
+        diag = [d if d != 0 else 1 for d in stream(tag, WIDTH)]
+        if _internal_matrix_secure(diag):
+            break
+        attempt += 1
+        assert attempt < 64, "could not derive a secure internal matrix"
     return {
         "external": [ext[r * WIDTH : (r + 1) * WIDTH] for r in range(ROUNDS_F)],
         "internal": internal,
         "diag": diag,
     }
+
+
+# --- internal-matrix security checks (Poseidon2 paper §5.3) ------------------
+#
+# M_I = diag(d) + J (all-ones).  Required: M_I invertible, and no proper
+# invariant subspace over F_p — guaranteed when the characteristic polynomial
+# of M_I is irreducible over F_p (then the minimal polynomial has full degree
+# and M_I acts as multiplication in F_{p^16}).
+
+def _poly_mulmod(a: List[int], b: List[int], f: List[int]) -> List[int]:
+    """(a*b) mod f over F_p; f monic of degree n (len n+1)."""
+    n = len(f) - 1
+    out = [0] * (len(a) + len(b) - 1)
+    for i, ai in enumerate(a):
+        if ai:
+            for j, bj in enumerate(b):
+                out[i + j] = (out[i + j] + ai * bj) % P
+    for i in range(len(out) - 1, n - 1, -1):
+        c = out[i]
+        if c:
+            out[i] = 0
+            for j in range(n):
+                out[i - n + j] = (out[i - n + j] - c * f[j]) % P
+    return out[:n]
+
+
+def _poly_powmod(a: List[int], e: int, f: List[int]) -> List[int]:
+    r = [1]
+    base = a[: len(f) - 1]
+    while e:
+        if e & 1:
+            r = _poly_mulmod(r, base, f)
+        base = _poly_mulmod(base, base, f)
+        e >>= 1
+    return r
+
+
+def _poly_gcd_deg(a: List[int], b: List[int]) -> int:
+    def deg(x):
+        for i in range(len(x) - 1, -1, -1):
+            if x[i]:
+                return i
+        return -1
+
+    while deg(b) >= 0:
+        da, db = deg(a), deg(b)
+        if da < db:
+            a, b = b, a
+            da, db = db, da
+        inv = pow(b[db], P - 2, P)
+        r = list(a)
+        for _ in range(da - db + 1):
+            dr = deg(r)
+            if dr < db:
+                break
+            c = r[dr] * inv % P
+            for j in range(db + 1):
+                r[dr - db + j] = (r[dr - db + j] - c * b[j]) % P
+        a, b = b, r
+    return deg(a)
+
+
+def _char_poly(diag: Sequence[int]) -> List[int]:
+    """Characteristic polynomial of diag(d) + J via the rank-one update:
+    det(xI - D - J) = prod(x - d_i) · (1 - Σ 1/(x - d_i)), expanded
+    symbolically:  charpoly = prod(x-d_i) - Σ_i prod_{j≠i}(x-d_j)."""
+    n = len(diag)
+    # prod(x - d_i) coefficients, low-to-high
+    prod = [1]
+    for d in diag:
+        nxt = [0] * (len(prod) + 1)
+        for i, c in enumerate(prod):
+            nxt[i] = (nxt[i] - d * c) % P
+            nxt[i + 1] = (nxt[i + 1] + c) % P
+        prod = nxt
+    # Σ_i prod_{j≠i}(x - d_j) = d/dx prod(x - d_i) ... only when the d_i are
+    # distinct?  No: it's ALWAYS the derivative of prod (Leibniz).
+    deriv = [(i * prod[i]) % P for i in range(1, n + 1)]
+    out = list(prod)
+    for i in range(n):
+        out[i] = (out[i] - deriv[i]) % P
+    return out  # monic degree n
+
+
+def _internal_matrix_secure(diag: Sequence[int]) -> bool:
+    n = len(diag)
+    f = _char_poly(diag)
+    assert f[n] == 1 and len(f) == n + 1
+    # invertible <=> det != 0 <=> charpoly(0) != 0 (up to sign)
+    if f[0] == 0:
+        return False
+    # irreducibility (Rabin): x^(p^n) == x mod f, and for every prime q | n
+    # (n=16 => q=2) gcd(x^(p^(n/2)) - x, f) is constant.  Frobenius powers by
+    # iterated modular composition of x^p.
+    xp = _poly_powmod([0, 1], P, f)  # x^p mod f
+
+    def compose(g: List[int], h: List[int]) -> List[int]:
+        # g(h) mod f, Horner
+        r: List[int] = [0]
+        for c in reversed(g):
+            r = _poly_mulmod(r, h, f)
+            if not r:
+                r = [0]
+            r = list(r) + [0] * (n - len(r))
+            r[0] = (r[0] + c) % P
+        return r
+
+    # x^(p^k) by repeated composition
+    frob = xp
+    for _ in range(3):  # -> p^2, p^4, p^8
+        frob = compose(frob, frob)
+    half = frob  # x^(p^8)
+    minus_x = list(half) + [0] * (n - len(half))
+    minus_x[1] = (minus_x[1] - 1) % P
+    if _poly_gcd_deg(list(f), minus_x) != 0:
+        return False
+    full = compose(half, half)  # x^(p^16)
+    full = list(full) + [0] * (n - len(full))
+    return full[1] == 1 and all(c == 0 for i, c in enumerate(full[:n]) if i != 1)
 
 
 CONSTANTS = _derive_constants()

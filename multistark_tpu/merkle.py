@@ -64,6 +64,21 @@ class Blake3FieldHasher:
         )
         return bytes_to_digest(blake3_hash(data))
 
+    # -- host, batched over queries (the fast verifier path) --------------
+    def np_hash_rows_batch(self, rows_u64: np.ndarray) -> np.ndarray:
+        """rows_u64: (B, total_w) uint64 -> (B, 8) digests (u64-LE words)."""
+        from .hash.blake3 import np_hash_words
+
+        lo = (rows_u64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi = (rows_u64 >> np.uint64(32)).astype(np.uint32)
+        words = np.stack([lo, hi], axis=-1).reshape(rows_u64.shape[0], -1)
+        return np_hash_words(words)
+
+    def np_compress_batch(self, left: np.ndarray, right: np.ndarray) -> np.ndarray:
+        from .hash.blake3 import np_compress_pairs
+
+        return np_compress_pairs(left, right)
+
 
 @dataclass
 class MerkleProverData:
@@ -109,6 +124,13 @@ class MerkleMmcs:
         max_h = heights[0]
         log_max = max_h.bit_length() - 1
         assert max_h >= (1 << self.cap_height), "cap larger than tree"
+        # matrices shorter than the cap would never be injected into a digest
+        # (the compress loop stops at the cap), silently unbinding their data
+        # — reject the combination loudly
+        assert heights[-1] >= (1 << self.cap_height), (
+            f"matrix height {heights[-1]} below cap size {1 << self.cap_height}: "
+            "sub-cap matrices are not bound by the commitment"
+        )
 
         key = (
             "mmcs_commit",
@@ -140,25 +162,45 @@ class MerkleMmcs:
 
     # -- open (device gathers, host assembly) -----------------------------
     def gather_device(self, data: MerkleProverData, indices: np.ndarray):
-        """Dispatch (async) the sibling/row gathers for `indices`; pair with
-        `assemble` after a (batched) device_get."""
+        """Dispatch the sibling/row gathers for `indices` as ONE jitted
+        kernel per tree signature (a per-level eager gather would cost ~20
+        dispatches per tree); pair with `assemble` after a batched
+        device_get."""
+        from .utils import cached_jit
+
         indices = np.asarray(indices, np.int64)
-        path_len = data.log_max - self.cap_height
-        sib_dev = []
-        for l in range(path_len):
-            idx_l = jnp.asarray(indices >> l)
-            sib_dev.append(data.layers[l][idx_l ^ 1])
-        rows_dev = []
-        for m, (w, h) in zip(data.mats, data.dims):
-            shift = data.log_max - (h.bit_length() - 1)
-            ridx = jnp.asarray(indices >> shift)
-            rows_dev.append(jax.tree.map(lambda pl: pl[:, ridx], m))  # planes (w, Q)
-        return (sib_dev, rows_dev)
+        key = (
+            "mmcs_gather",
+            type(self.hasher).__name__,
+            tuple(data.dims),
+            data.log_max,
+            self.cap_height,
+            len(indices),
+        )
+        kern = cached_jit(
+            key,
+            lambda _dims=tuple(data.dims), _lm=data.log_max: (
+                lambda layers, mats, idx: self._gather_impl(layers, mats, idx, _dims, _lm)
+            ),
+        )
+        return kern(tuple(data.layers), tuple(data.mats), jnp.asarray(indices))
+
+    def _gather_impl(self, layers, mats, idx, dims, log_max):
+        path_len = log_max - self.cap_height
+        if path_len:
+            sib = jnp.stack([layers[l][(idx >> l) ^ 1] for l in range(path_len)], axis=0)
+        else:
+            sib = jnp.zeros((0, idx.shape[0], 8), jnp.uint32)
+        rows = []
+        for m, (w, h) in zip(mats, dims):
+            shift = log_max - (h.bit_length() - 1)
+            rows.append(jax.tree.map(lambda pl: pl[:, idx >> shift], m))  # planes (w, Q)
+        return (sib, rows)
 
     def assemble(self, data: MerkleProverData, n_queries: int, fetched) -> List[BatchOpening]:
         """Build per-query openings from already-fetched host values."""
         sib_host, rows_host = fetched
-        sib_layers = [np.asarray(s) for s in sib_host]
+        sib_layers = np.asarray(sib_host)  # (path_len, Q, 8)
         rows_per_mat = [
             _host_planes_to_u64(self._field_of(m), planes)
             for m, planes in zip(data.mats, rows_host)
@@ -167,7 +209,7 @@ class MerkleMmcs:
         out = []
         for qi in range(n_queries):
             path = (
-                np.stack([sib_layers[l][qi] for l in range(path_len)])
+                sib_layers[:, qi]
                 if path_len
                 else np.zeros((0, 8), np.uint32)
             )
@@ -202,6 +244,8 @@ class MerkleMmcs:
         if log_max is None:
             log_max = max(h for _, h in dims).bit_length() - 1
         heights = sorted({h for _, h in dims}, reverse=True)
+        if heights[-1] < (1 << self.cap_height):
+            return False  # sub-cap matrices are never bound (see commit())
         by_height = {
             h: [opening.opened_rows[i] for i, (w, mh) in enumerate(dims) if mh == h]
             for h in heights
@@ -227,6 +271,68 @@ class MerkleMmcs:
                 injected = self.hasher.host_hash_rows(by_height[size])
                 node = self.hasher.host_compress(node, injected)
         return bool(np.array_equal(cap[idx], node))
+
+
+def _mmcs_verify_batch_queries(
+    mmcs: MerkleMmcs,
+    cap: np.ndarray,
+    dims: Sequence[Tuple[int, int]],
+    indices: np.ndarray,
+    openings: Sequence[BatchOpening],
+    log_max: int | None = None,
+) -> bool:
+    """Verify ALL query openings of one tree in a few vectorized NumPy hash
+    calls (the per-query scalar walk costs ~20k Python hash calls per proof).
+    Requires a hasher with np_hash_rows_batch/np_compress_batch; callers fall
+    back to mmcs.verify_batch per query otherwise."""
+    try:
+        return _verify_batch_queries_impl(mmcs, cap, dims, indices, openings, log_max)
+    except (ValueError, TypeError):  # ragged/malformed adversarial data
+        return False
+
+
+def _verify_batch_queries_impl(mmcs, cap, dims, indices, openings, log_max):
+    if log_max is None:
+        log_max = max(h for _, h in dims).bit_length() - 1
+    heights = sorted({h for _, h in dims}, reverse=True)
+    if heights[-1] < (1 << mmcs.cap_height):
+        return False  # sub-cap matrices are never bound (see commit())
+    if heights[0] != 1 << log_max:
+        return False
+    for op in openings:
+        for i, (w, h) in enumerate(dims):
+            if len(op.opened_rows[i]) != w:
+                return False
+    B = len(indices)
+    idx = np.asarray(indices, np.int64)
+    by_height = {
+        h: np.concatenate(
+            [
+                np.stack([np.asarray(op.opened_rows[i], np.uint64) for op in openings])
+                for i, (w, mh) in enumerate(dims)
+                if mh == h
+            ],
+            axis=1,
+        )
+        for h in heights
+    }
+    paths = np.stack([op.path for op in openings])  # (B, path_len, 8)
+    if paths.shape[1] != log_max - mmcs.cap_height:
+        return False
+    node = mmcs.hasher.np_hash_rows_batch(by_height[heights[0]])
+    size = heights[0]
+    for l in range(log_max - mmcs.cap_height):
+        sib = paths[:, l].astype(np.uint32)
+        bit = ((idx >> l) & 1).astype(bool)[:, None]
+        left = np.where(bit, sib, node)
+        right = np.where(bit, node, sib)
+        node = mmcs.hasher.np_compress_batch(left, right)
+        size >>= 1
+        if size in by_height:
+            injected = mmcs.hasher.np_hash_rows_batch(by_height[size])
+            node = mmcs.hasher.np_compress_batch(node, injected)
+    final_idx = idx >> (log_max - mmcs.cap_height)
+    return bool(np.array_equal(np.atleast_2d(cap)[final_idx], node))
 
 
 def _host_planes_to_u64(F, planes) -> np.ndarray:

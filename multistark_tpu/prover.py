@@ -66,10 +66,13 @@ class Proof:
     quotient_opened: List[List[List[ExtVal]]]
     fri_proof: FriProof
 
-    def to_bytes(self) -> bytes:
+    def to_bytes(self, config=None) -> bytes:
         from .serialization import proof_to_bytes
 
-        return proof_to_bytes(self)
+        if config is None:
+            return proof_to_bytes(self)
+        field_bytes = 8 if config.host_field.p.bit_length() > 32 else 4
+        return proof_to_bytes(self, field_bytes, config.extension_params.degree)
 
     @staticmethod
     def from_bytes(data: bytes, system: "System") -> "Proof":
@@ -79,7 +82,9 @@ class Proof:
 
 
 def prove(system: System, key: ProverKey, witness: SystemWitness, claims=None) -> Proof:
-    return prove_multiple_claims(system, key, witness, [claims] if claims else [])
+    return prove_multiple_claims(
+        system, key, witness, [] if claims is None else [claims]
+    )
 
 
 def prove_multiple_claims(

@@ -1,10 +1,59 @@
-"""Proof serialization (reference src/prover.rs:215-255).
+"""Proof serialization — bincode-compatible layout (reference
+src/prover.rs:202-243: `standard().with_little_endian().with_fixed_int_encoding()`).
 
-Binary layout follows the reference's bincode configuration: little-endian,
-fixed-width integers (u64 lengths, u64 field elements, u8 for bitmap/log
-degrees, raw 32-byte digests).  Deserialization is defensive: all lengths
-are derived from the System where possible and bounds-checked; field values
-are range-checked by verify_shape afterwards.
+Field-by-field layout, mirroring the Rust `Proof` struct's declaration order
+(bincode fixint encodes struct fields in order, `Vec<T>` as u64-LE length +
+elements, `Option<T>` as one tag byte (0|1) + value, `bool`/`u8` as one
+byte, fixed-size arrays with no length prefix):
+
+  Proof (prover.rs:215-238):
+    active                     Vec<bool>            u64 len + 1 byte each
+    commitments                Commitments<Com>     3 caps in declaration
+                               (prover.rs:203-210)  order: stage_1_trace,
+                                                    stage_2_trace,
+                                                    quotient_chunks
+    intermediate_accumulators  Vec<Challenge>       u64 len + D field elems
+                                                    each (BinomialExtension-
+                                                    Field serializes as the
+                                                    fixed [F; D] array)
+    log_degrees                Vec<u8>              u64 len + raw bytes
+    opening_proof              PcsProof<SC>         FRI proof (below)
+    quotient_opened_values     OpenedValuesForRound Vec<Vec<Vec<Challenge>>>
+    preprocessed_opened_values Option<...>          1 tag byte + value
+    stage_1_opened_values      OpenedValuesForRound
+    stage_2_opened_values      OpenedValuesForRound
+
+  Com (Merkle cap): u64 count + 32-byte digests (Vec<Hash>; the digest
+  itself is a fixed [u8; 32] / [F; 8] with no inner prefix).
+
+  FRI proof (p3-fri FriProof declaration order):
+    commit_phase_commits   Vec<Com>
+    commit_pow_witnesses   Vec<u64>   (argumentcomputer commit-phase PoW
+                                      extension; placement next to the
+                                      commits is this library's choice —
+                                      the one field not pinnable from the
+                                      reference source offline)
+    query_proofs           Vec<QueryProof>
+    final_poly             Vec<Challenge>
+    pow_witness            u64
+
+  QueryProof:
+    input_proof            Vec<BatchOpening>
+      BatchOpening:
+        opened_values      Vec<Vec<F>>     (per matrix: u64 len + values)
+        opening_proof      Vec<[u8; 32]>   (path: u64 len + raw digests)
+    commit_phase_openings  Vec<CommitPhaseProofStep>
+      CommitPhaseProofStep:
+        opened_row         Vec<F>          (flattened ext values)
+        opening_proof      Vec<[u8; 32]>
+
+Base field elements are u64 LE for 64-bit fields (Goldilocks) and u32 LE
+for 31-bit fields (BabyBear), matching p3's serde of the canonical value.
+
+Deserialization is defensive: every length is bounds-checked and field
+counts are cross-checked by verify_shape afterwards.  Byte equality against
+Rust-serialized fixtures is testable as soon as such fixtures exist (none
+can be generated in this offline environment — no Rust toolchain).
 """
 
 from __future__ import annotations
@@ -20,8 +69,9 @@ from .pcs import FriProof, QueryProof
 
 
 class _Writer:
-    def __init__(self):
+    def __init__(self, field_bytes: int = 8):
         self.parts: List[bytes] = []
+        self.field_bytes = field_bytes
 
     def u8(self, v: int):
         self.parts.append(struct.pack("<B", v))
@@ -30,7 +80,7 @@ class _Writer:
         self.parts.append(struct.pack("<Q", v))
 
     def field(self, v: int):
-        self.parts.append(struct.pack("<Q", v))
+        self.parts.append(int(v).to_bytes(self.field_bytes, "little"))
 
     def ext(self, v):
         for c in v:
@@ -50,9 +100,10 @@ class _Writer:
 
 
 class _Reader:
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, field_bytes: int = 8):
         self.data = data
         self.pos = 0
+        self.field_bytes = field_bytes
 
     def _take(self, n: int) -> bytes:
         if self.pos + n > len(self.data):
@@ -68,7 +119,7 @@ class _Reader:
         return struct.unpack("<Q", self._take(8))[0]
 
     def field(self) -> int:
-        return self.u64()
+        return int.from_bytes(self._take(self.field_bytes), "little")
 
     def ext(self, D: int) -> Tuple[int, ...]:
         return tuple(self.field() for _ in range(D))
@@ -146,40 +197,14 @@ def _read_batch_opening(r: _Reader) -> BatchOpening:
     return BatchOpening(opened_rows=rows, path=path)
 
 
-def proof_to_bytes(proof) -> bytes:
-    from .prover import Proof  # circular-safe
-
-    w = _Writer()
-    D = len(proof.intermediate_accumulators[0]) if proof.intermediate_accumulators else 2
-    w.u64(len(proof.active))
-    for b in proof.active:
-        w.u8(1 if b else 0)
-    w.cap(proof.commitments.stage_1_trace)
-    w.cap(proof.commitments.stage_2_trace)
-    w.cap(proof.commitments.quotient_chunks)
-    w.u64(D)
-    w.u64(len(proof.intermediate_accumulators))
-    for a in proof.intermediate_accumulators:
-        w.ext(a)
-    w.u64(len(proof.log_degrees))
-    for ld in proof.log_degrees:
-        w.u8(ld)
-    _write_opened(w, proof.preprocessed_opened, D)
-    _write_opened(w, proof.stage1_opened, D)
-    _write_opened(w, proof.stage2_opened, D)
-    _write_opened(w, proof.quotient_opened, D)
-    # FRI proof
-    fp = proof.fri_proof
+def _write_fri_proof(w: _Writer, fp):
+    """FRI proof in p3-fri's FriProof field order (see module doc)."""
     w.u64(len(fp.commit_caps))
     for cap in fp.commit_caps:
         w.cap(cap)
     w.u64(len(fp.commit_pow_witnesses))
     for pw in fp.commit_pow_witnesses:
         w.u64(pw)
-    w.u64(len(fp.final_poly))
-    for c in fp.final_poly:
-        w.ext(c)
-    w.u64(fp.query_pow_witness)
     w.u64(len(fp.query_proofs))
     for qp in fp.query_proofs:
         w.u64(len(qp.input_openings))
@@ -193,42 +218,21 @@ def proof_to_bytes(proof) -> bytes:
             w.u64(path.shape[0])
             for d in path:
                 w.digest(d)
-    return w.bytes()
+    w.u64(len(fp.final_poly))
+    for c in fp.final_poly:
+        w.ext(c)
+    w.u64(fp.query_pow_witness)
 
 
-def proof_from_bytes(data: bytes, system) -> "Proof":
+def _read_fri_proof(r: _Reader, D: int):
     from .pcs import FriProof, QueryProof
-    from .prover import Commitments, Proof
 
-    r = _Reader(data)
-    n_circuits = r.u64()
-    _guard(n_circuits)
-    active = [bool(r.u8()) for _ in range(n_circuits)]
-    s1 = r.cap()
-    s2 = r.cap()
-    qc = r.cap()
-    D = r.u64()
-    _guard(D, 16)
-    n_accs = r.u64()
-    _guard(n_accs)
-    accs = [r.ext(D) for _ in range(n_accs)]
-    n_ld = r.u64()
-    _guard(n_ld)
-    log_degrees = [r.u8() for _ in range(n_ld)]
-    pre_opened = _read_opened(r, D)
-    s1_opened = _read_opened(r, D)
-    s2_opened = _read_opened(r, D)
-    q_opened = _read_opened(r, D)
     n_caps = r.u64()
     _guard(n_caps, 64)
     commit_caps = [r.cap() for _ in range(n_caps)]
     n_pows = r.u64()
     _guard(n_pows, 64)
     commit_pows = [r.u64() for _ in range(n_pows)]
-    n_final = r.u64()
-    _guard(n_final)
-    final_poly = [r.ext(D) for _ in range(n_final)]
-    query_pow = r.u64()
     n_queries = r.u64()
     _guard(n_queries, 1 << 16)
     query_proofs = []
@@ -252,6 +256,83 @@ def proof_from_bytes(data: bytes, system) -> "Proof":
             )
             commit_openings.append((row, path))
         query_proofs.append(QueryProof(input_openings, commit_openings))
+    n_final = r.u64()
+    _guard(n_final)
+    final_poly = [r.ext(D) for _ in range(n_final)]
+    query_pow = r.u64()
+    return FriProof(
+        commit_caps=commit_caps,
+        commit_pow_witnesses=commit_pows,
+        final_poly=final_poly,
+        query_pow_witness=query_pow,
+        query_proofs=query_proofs,
+    )
+
+
+def proof_to_bytes(proof, field_bytes: int = 8, ext_degree: int | None = None) -> bytes:
+    """Serialize in the Rust Proof struct's bincode field order
+    (prover.rs:215-238; see module doc).  `field_bytes` is the base-field
+    serialized width (8 for Goldilocks, 4 for BabyBear)."""
+    w = _Writer(field_bytes)
+    D = ext_degree or (
+        len(proof.intermediate_accumulators[0]) if proof.intermediate_accumulators else 2
+    )
+    w.u64(len(proof.active))
+    for b in proof.active:
+        w.u8(1 if b else 0)
+    w.cap(proof.commitments.stage_1_trace)
+    w.cap(proof.commitments.stage_2_trace)
+    w.cap(proof.commitments.quotient_chunks)
+    w.u64(len(proof.intermediate_accumulators))
+    for a in proof.intermediate_accumulators:
+        w.ext(a)
+    w.u64(len(proof.log_degrees))
+    for ld in proof.log_degrees:
+        w.u8(ld)
+    _write_fri_proof(w, proof.fri_proof)
+    _write_opened(w, proof.quotient_opened, D)
+    # preprocessed is Option<OpenedValuesForRound> in the Rust struct
+    if proof.preprocessed_opened:
+        w.u8(1)
+        _write_opened(w, proof.preprocessed_opened, D)
+    else:
+        w.u8(0)
+    _write_opened(w, proof.stage1_opened, D)
+    _write_opened(w, proof.stage2_opened, D)
+    return w.bytes()
+
+
+def proof_from_bytes(data: bytes, system) -> "Proof":
+    from .prover import Commitments, Proof
+
+    cfg = getattr(system, "config", None)
+    field_bytes = 8
+    D = 2
+    if cfg is not None:
+        field_bytes = (cfg.host_field.p.bit_length() + 7) // 8
+        field_bytes = 8 if field_bytes > 4 else 4
+        D = cfg.extension_params.degree
+    r = _Reader(data, field_bytes)
+    n_circuits = r.u64()
+    _guard(n_circuits)
+    active = [bool(r.u8()) for _ in range(n_circuits)]
+    s1 = r.cap()
+    s2 = r.cap()
+    qc = r.cap()
+    n_accs = r.u64()
+    _guard(n_accs)
+    accs = [r.ext(D) for _ in range(n_accs)]
+    n_ld = r.u64()
+    _guard(n_ld)
+    log_degrees = [r.u8() for _ in range(n_ld)]
+    fri_proof = _read_fri_proof(r, D)
+    q_opened = _read_opened(r, D)
+    pre_tag = r.u8()
+    if pre_tag not in (0, 1):
+        raise VerificationError("InvalidProofShape", "bad Option tag")
+    pre_opened = _read_opened(r, D) if pre_tag else []
+    s1_opened = _read_opened(r, D)
+    s2_opened = _read_opened(r, D)
     if not r.done():
         raise VerificationError("InvalidProofShape", "trailing bytes")
     return Proof(
@@ -263,11 +344,5 @@ def proof_from_bytes(data: bytes, system) -> "Proof":
         stage1_opened=s1_opened,
         stage2_opened=s2_opened,
         quotient_opened=q_opened,
-        fri_proof=FriProof(
-            commit_caps=commit_caps,
-            commit_pow_witnesses=commit_pows,
-            final_poly=final_poly,
-            query_pow_witness=query_pow,
-            query_proofs=query_proofs,
-        ),
+        fri_proof=fri_proof,
     )

@@ -141,7 +141,9 @@ class System:
     def prove(self, key, witness, claims=None):
         from .prover import prove_multiple_claims
 
-        return prove_multiple_claims(self, key, witness, [claims] if claims else [])
+        return prove_multiple_claims(
+            self, key, witness, [] if claims is None else [claims]
+        )
 
     def prove_multiple_claims(self, key, witness, claims):
         from .prover import prove_multiple_claims
@@ -151,7 +153,7 @@ class System:
     def verify(self, proof, claims=None) -> None:
         from .verifier import verify_multiple_claims
 
-        verify_multiple_claims(self, [claims] if claims else [], proof)
+        verify_multiple_claims(self, [] if claims is None else [claims], proof)
 
     def verify_multiple_claims(self, claims, proof) -> None:
         from .verifier import verify_multiple_claims

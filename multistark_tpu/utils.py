@@ -61,7 +61,9 @@ def cached_jit(key, make_fn):
 
 
 def batch_inv(ops, x, axis: int = -1):
-    key = (getattr(ops, "name", id(ops)), "batch_inv", axis)
+    # ops.name is required: an id()-keyed fallback would alias recycled ids
+    # (CLAUDE.md cache rule) and return a kernel bound to a different ops
+    key = (ops.name, "batch_inv", axis)
     return cached_jit(key, lambda: lambda y: _batch_inv_impl(ops, y, axis))(x)
 
 

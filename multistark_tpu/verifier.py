@@ -40,7 +40,7 @@ ExtVal = Tuple[int, ...]
 
 
 def verify(system: System, proof: Proof, claims=None) -> None:
-    verify_multiple_claims(system, [claims] if claims else [], proof)
+    verify_multiple_claims(system, [] if claims is None else [claims], proof)
 
 
 def verify_multiple_claims(system: System, claims: Sequence[Sequence[int]], proof: Proof) -> None:
