@@ -192,8 +192,48 @@ class TwoAdicFriPcs:
         # One jitted kernel per (matrix shape, #points); z enters as a device
         # scalar.  Values come to host for transcript observation.
         dev_vals: List[List[object]] = []  # device (w, ?) coord arrays per matrix
-        _eval_span = span("stark/fri_open/eval")
-        _eval_span.__enter__()
+        with span("stark/fri_open/eval"):
+            opened = self._claimed_evaluations(rounds, dev_vals)
+            for round_vals in opened:
+                for mat_vals in round_vals:
+                    for pt_vals in mat_vals:
+                        for v in pt_vals:
+                            challenger.observe_ext(v)
+        alpha = challenger.sample_ext()
+
+        # -- Step C: reduced openings per LDE height (device, bitrev order)
+        with span("stark/fri_open/ro"):
+            ro = self._reduced_openings(rounds, dev_vals, alpha)
+
+        with span("stark/fri_open/fold"):
+            (
+                caps, commit_datas, commit_pows, final_poly, query_pow,
+                indices, schedule, log_max, log_max_ro,
+            ) = self._commit_phase(rounds, ro, challenger)
+        arities = schedule
+
+        # -- Step E: query proofs — all trees' gathers dispatch async, then
+        # ONE device_get fetches everything
+        with span("stark/fri_open/queries"):
+            query_proofs = self._query_phase(
+                rounds, commit_datas, indices, arities, log_max, log_max_ro
+            )
+
+        proof = FriProof(
+            commit_caps=caps,
+            commit_pow_witnesses=commit_pows,
+            final_poly=final_poly,
+            query_pow_witness=query_pow,
+            query_proofs=query_proofs,
+        )
+        return opened, proof
+
+    def _claimed_evaluations(self, rounds, dev_vals):
+        """Step A: claimed evaluations via small-domain barycentric.  One
+        jitted kernel per (matrix shape, #points); z enters as a device
+        scalar.  Fills `dev_vals` (device arrays, reused by the ro step) and
+        returns the host-side opened values."""
+        E = self.E
         for data, points_list in rounds:
             round_dev: List[object] = []
             for m_idx, points in enumerate(points_list):
@@ -230,20 +270,12 @@ class TwoAdicFriPcs:
                     mat_vals.append([tuple(int(c) for c in row) for row in arr])
                 round_vals.append(mat_vals)
             opened.append(round_vals)
+        return opened
 
-        for round_vals in opened:
-            for mat_vals in round_vals:
-                for pt_vals in mat_vals:
-                    for v in pt_vals:
-                        challenger.observe_ext(v)
-
-        _eval_span.__exit__(None, None, None)
-        alpha = challenger.sample_ext()
-
-        # -- Step C: reduced openings per LDE height (device, bitrev order)
-        # One jitted kernel per matrix: ro contribution for all its points.
-        _ro_span = span("stark/fri_open/ro")
-        _ro_span.__enter__()
+    def _reduced_openings(self, rounds, dev_vals, alpha):
+        """Step C: reduced openings per LDE height (device, bitrev order).
+        One jitted kernel per matrix: ro contribution for all its points."""
+        E, he = self.E, self.he
         ro: Dict[int, object] = {}
         offsets: Dict[int, int] = {}
         for r_idx, (data, points_list) in enumerate(rounds):
@@ -272,12 +304,20 @@ class TwoAdicFriPcs:
                 ro[log_lde] = contrib if log_lde not in ro else E.add(ro[log_lde], contrib)
                 off += w * len(points)
                 offsets[log_lde] = off
+        return ro
 
-        _ro_span.__exit__(None, None, None)
+    def _commit_phase(self, rounds, ro, challenger):
+        """Step D: FRI commit phase — fold with per-round β, committing each
+        level; transcript-serial by construction (β_r depends on cap_r).
 
-        # -- Step D: FRI commit phase
-        _fold_span = span("stark/fri_open/fold")
-        _fold_span.__enter__()
+        Two execution paths producing bit-identical transcripts:
+          - device: β and the PoW witness are computed ON DEVICE from the
+            blake3 duplex (device_transcript.py), so all rounds dispatch
+            asynchronously and the host syncs once, then REPLAYS the byte
+            transcript (authoritative) — any divergence falls back;
+          - host: the original per-round loop (one blocking device_get per
+            round), used for non-Goldilocks/Blake3 configs and as fallback.
+        """
         log_max = max(data.log_max_lde for data, _ in rounds)  # query index range
         log_max_ro = max(ro.keys())  # fold start (tallest matrix WITH openings)
         log_final = self.log_blowup + self.fri.log_final_poly_len
@@ -293,13 +333,48 @@ class TwoAdicFriPcs:
                     a_bits = ls - h
             schedule.append(a_bits)
             ls -= a_bits
-        arities = schedule
+        # degenerate: every opened matrix already at final-poly size — no
+        # folds, no commit-phase trees; the final poly IS the reduced opening
+        if not schedule:
+            final_poly, query_pow, indices = self._commit_tail(
+                ro[log_max_ro], log_max_ro, log_max_ro, log_max, challenger
+            )
+            return [], [], [], final_poly, query_pow, indices, [], log_max, log_max_ro
 
+        result = None
+        if self._device_transcript_eligible(challenger):
+            result = self._commit_phase_device(
+                ro, schedule, log_max_ro, challenger
+            )
+        if result is None:
+            result = self._commit_phase_host(ro, schedule, log_max_ro, challenger)
+        caps, commit_datas, commit_pows, current, log_size = result
+        final_poly, query_pow, indices = self._commit_tail(
+            current, log_size, log_max_ro, log_max, challenger
+        )
+        return (
+            caps, commit_datas, commit_pows, final_poly, query_pow,
+            indices, schedule, log_max, log_max_ro,
+        )
+
+    def _commit_tail(self, current, log_size, log_max_ro, log_max, challenger):
+        """Shared transcript tail: observe the final poly, grind the query
+        PoW, sample the query indices."""
+        final_poly = self._final_poly_host(current, log_size, log_max_ro)
+        for c in final_poly:
+            challenger.observe_ext(c)
+        query_pow = challenger.grind(self.fri.query_proof_of_work_bits)
+        indices = [challenger.sample_bits(log_max) for _ in range(self.fri.num_queries)]
+        return final_poly, query_pow, indices
+
+    def _commit_phase_host(self, ro, schedule, log_max_ro, challenger):
+        """Per-round host-transcript loop (one blocking device_get per
+        round): the generic path for any challenger/hasher pair."""
+        E = self.E
         current = ro[log_max_ro]
         caps: List[np.ndarray] = []
         commit_datas: List[MerkleProverData] = []
         commit_pows: List[int] = []
-        betas: List[ExtVal] = []
         log_size = log_max_ro
 
         def commit_level(vec, a_bits, log_sz):
@@ -318,7 +393,6 @@ class TwoAdicFriPcs:
             challenger.observe_commitment(caps[r])
             commit_pows.append(challenger.grind(self.fri.commit_proof_of_work_bits))
             beta = challenger.sample_ext()
-            betas.append(beta)
             shift_cur = self._shift_at(log_max_ro, log_size)
             next_log = log_size - a_bits
             absorb = ro.get(next_log) if next_log in ro else None
@@ -363,18 +437,156 @@ class TwoAdicFriPcs:
                 )
                 current = kern(current, ext_scalar(E, beta), absorb)
             log_size = next_log
+        return caps, commit_datas, commit_pows, current, log_size
 
-        final_poly = self._final_poly_host(current, log_size, log_max_ro)
-        for c in final_poly:
-            challenger.observe_ext(c)
-        query_pow = challenger.grind(self.fri.query_proof_of_work_bits)
-        indices = [challenger.sample_bits(log_max) for _ in range(self.fri.num_queries)]
-        _fold_span.__exit__(None, None, None)
+    # -- device-transcript commit phase ------------------------------------
+    def _device_transcript_eligible(self, challenger) -> bool:
+        """Device transcript is implemented for the production config only:
+        SerializingChallenger64 over Blake3FieldHasher on Goldilocks, ext
+        degree ≤ 3 (β's coords must fit one digest after the grind draw)."""
+        import os
 
-        # -- Step E: query proofs — all trees' gathers dispatch async, then
-        # ONE device_get fetches everything
-        _q_span = span("stark/fri_open/queries")
-        _q_span.__enter__()
+        from .challenger import SerializingChallenger64
+        from .device_transcript import GOLDILOCKS_P
+        from .merkle import Blake3FieldHasher
+
+        if os.environ.get("MULTISTARK_DEVICE_TRANSCRIPT", "1") in ("0", "false", "off"):
+            return False
+        return (
+            isinstance(challenger, SerializingChallenger64)
+            and isinstance(self.mmcs.hasher, Blake3FieldHasher)
+            and self.hf.p == GOLDILOCKS_P
+            and 1 <= self.E.D <= 3
+            and len(challenger.inner.input_buffer) % 4 == 0
+        )
+
+    def _commit_phase_device(self, ro, schedule, log_max_ro, challenger):
+        """All fold rounds dispatched without host sync: each round's kernel
+        derives (witness, β) from the duplex digest on device
+        (device_transcript.py), folds, and commits the next level.  One
+        device_get at the end, then the host challenger replays the byte
+        transcript from the returned caps/witnesses — replay is the
+        authority; returns None on any divergence (caller falls back)."""
+        from . import device_transcript as dt
+
+        E = self.E
+        bits = self.fri.commit_proof_of_work_bits
+        entry = dt.entry_buffer_words(bytes(challenger.inner.input_buffer))
+        if entry is None:
+            return None
+
+        current = ro[log_max_ro]
+        log_size = log_max_ro
+        # round-0 commit, cap kept on device
+        A0 = 1 << schedule[0]
+        slices = [jax.tree.map(lambda t, j=j: t[j::A0], current) for j in range(A0)]
+        mat0 = self._ext_slices_matrix(slices)
+        dims0 = [(A0 * E.D, 1 << (log_size - schedule[0]))]
+        kern0 = cached_jit(
+            ("mmcs_commit", type(self.mmcs.hasher).__name__,
+             self.F.__class__.__name__, tuple(dims0), self.mmcs.cap_height),
+            lambda _d=tuple(dims0): lambda ms: self.mmcs._commit_impl(ms, _d),
+        )
+        layers0 = kern0([mat0])
+        commit_datas = [
+            MerkleProverData(mats=[mat0], dims=dims0, layers=layers0,
+                             log_max=log_size - schedule[0])
+        ]
+        caps_dev = [layers0[-1]]
+
+        chain = jnp.asarray(entry)
+        ws_dev, betas_dev, oks_dev = [], [], []
+        for r, a_bits in enumerate(schedule):
+            shift_cur = self._shift_at(log_max_ro, log_size)
+            next_log = log_size - a_bits
+            absorb = ro.get(next_log)
+            next_a = schedule[r + 1] if r + 1 < len(schedule) else None
+            key = (
+                "fri_round_dev", E.name, log_size, a_bits, next_a,
+                shift_cur % self.hf.p, absorb is not None, bits,
+                int(chain.shape[0]), self.mmcs.cap_height,
+                type(self.mmcs.hasher).__name__,
+            )
+            kern = cached_jit(
+                key,
+                lambda _ls=log_size, _ab=a_bits, _na=next_a, _sc=shift_cur, _b=bits: (
+                    lambda ch, cap, cur, ab_: self._device_round_kernel(
+                        ch, cap, cur, ab_, _ls, _ab, _na, _sc, _b
+                    )
+                ),
+            )
+            chain, w, beta, ok, current, tree = kern(
+                chain, caps_dev[r], current, absorb
+            )
+            ws_dev.append(w)
+            betas_dev.append(beta)
+            oks_dev.append(ok)
+            if tree is not None:
+                mat, layers = tree
+                commit_datas.append(
+                    MerkleProverData(
+                        mats=[mat],
+                        dims=[((1 << next_a) * E.D, 1 << (next_log - next_a))],
+                        layers=layers,
+                        log_max=next_log - next_a,
+                    )
+                )
+                caps_dev.append(layers[-1])
+            log_size = next_log
+
+        # the single sync: caps, witnesses, βs, validity flags together
+        caps_np, ws_np, betas_np, oks_np = jax.device_get(
+            (caps_dev, ws_dev, betas_dev, oks_dev)
+        )
+        if not all(bool(o) for o in oks_np):
+            return None  # grind miss or rejection-sampling draw: host fallback
+
+        # authoritative host replay on a clone; adopt its state on success
+        probe = challenger.clone()
+        caps: List[np.ndarray] = [np.asarray(c) for c in caps_np]
+        commit_pows: List[int] = []
+        for r in range(len(schedule)):
+            probe.observe_commitment(caps[r])
+            w = dt.u64_of_pair(*ws_np[r])
+            if not probe.check_witness(bits, w):
+                return None
+            beta_host = probe.sample_ext()
+            beta_dev = tuple(
+                dt.u64_of_pair(lo, hi) for lo, hi in betas_np[r]
+            )
+            if beta_host != beta_dev:
+                return None
+            commit_pows.append(w)
+        challenger.inner.input_buffer = probe.inner.input_buffer
+        challenger.inner.output_buffer = probe.inner.output_buffer
+        return caps, commit_datas, commit_pows, current, log_size
+
+    def _device_round_kernel(
+        self, chain, cap, current, absorb, log_size, a_bits, next_a, shift, bits
+    ):
+        """One FRI round entirely on device: absorb cap into the duplex,
+        grind the PoW witness, squeeze β, fold (+absorb), commit the next
+        level's tree.  Returns (new_chain, witness, β, valid, folded, tree)."""
+        from . import device_transcript as dt
+
+        inp = jnp.concatenate([chain, cap.reshape(-1)])
+        w, digest, found = dt.grind_round(inp, bits)
+        beta, valid = dt.sample_ext_from_digest(digest, self.E.D)
+        folded = self._fold_absorb(current, beta, absorb, log_size, a_bits, shift)
+        tree = None
+        if next_a is not None:
+            A2 = 1 << next_a
+            slices = [jax.tree.map(lambda t, j=j: t[j::A2], folded) for j in range(A2)]
+            mat = self._ext_slices_matrix(slices)
+            layers = self.mmcs._commit_impl(
+                [mat], [(A2 * self.E.D, 1 << (log_size - a_bits - next_a))]
+            )
+            tree = (mat, layers)
+        return digest, jnp.stack(list(w)), beta, found & valid, folded, tree
+
+    def _query_phase(self, rounds, commit_datas, indices, arities, log_max, log_max_ro):
+        """Step E: open input trees + commit-phase trees at the sampled
+        indices; all gathers dispatch async, ONE device_get syncs."""
         nq = len(indices)
         round_devs = []
         for data, _ in rounds:
@@ -410,16 +622,7 @@ class TwoAdicFriPcs:
                     commit_openings=commit_ops,
                 )
             )
-
-        _q_span.__exit__(None, None, None)
-        proof = FriProof(
-            commit_caps=caps,
-            commit_pow_witnesses=commit_pows,
-            final_poly=final_poly,
-            query_pow_witness=query_pow,
-            query_proofs=query_proofs,
-        )
-        return opened, proof
+        return query_proofs
 
     # -- open helpers (jitted kernels; proof-varying values are arguments) --
     def _eval_kernel(self, mat, zs, log_n: int):
@@ -639,12 +842,81 @@ class TwoAdicFriPcs:
         indices = [challenger.sample_bits(log_max) for _ in range(fri.num_queries)]
         ensure(len(proof.query_proofs) == len(indices), "InvalidProofShape", "query count")
 
+        # Merkle path checks batched over all queries (NumPy-vectorized hash
+        # walk; ~100x fewer Python hash calls), when the hasher supports it;
+        # the per-query arithmetic walk below then skips the hash work.
+        batched = hasattr(self.mmcs.hasher, "np_hash_rows_batch")
+        if batched:
+            self._verify_merkle_batched(
+                rounds, proof, indices, log_max, log_max_ro, schedule
+            )
         for index, qp in zip(indices, proof.query_proofs):
             self._verify_query(
-                rounds, alpha, betas, proof, index, qp, log_max, log_max_ro, schedule
+                rounds, alpha, betas, proof, index, qp, log_max, log_max_ro, schedule,
+                skip_merkle=batched,
             )
 
-    def _verify_query(self, rounds, alpha, betas, proof, index, qp, log_max, log_max_ro, schedule):
+    def _verify_merkle_batched(self, rounds, proof, indices, log_max, log_max_ro, schedule):
+        from .merkle import _mmcs_verify_batch_queries
+
+        hf = self.hf
+        idx = np.asarray(indices, np.int64)
+        for qp in proof.query_proofs:
+            ensure(
+                len(qp.input_openings) == len(rounds), "InvalidProofShape", "round count"
+            )
+            ensure(
+                len(qp.commit_openings) == len(schedule),
+                "InvalidProofShape",
+                "level count",
+            )
+        for r, (cap, mats) in enumerate(rounds):
+            round_log_max = max(log_n for log_n, _, _ in mats) + self.log_blowup
+            dims = [(w, 1 << (log_n + self.log_blowup)) for log_n, w, _ in mats]
+            openings = [qp.input_openings[r] for qp in proof.query_proofs]
+            ensure(
+                _mmcs_verify_batch_queries(
+                    self.mmcs, cap, dims, idx >> (log_max - round_log_max), openings
+                ),
+                "InvalidOpeningArgument",
+                "input Merkle path",
+            )
+        D = self.he.D
+        log_size = log_max_ro
+        pos = idx >> (log_max - log_max_ro)
+        for l, a_bits in enumerate(schedule):
+            A = 1 << a_bits
+            for qp in proof.query_proofs:
+                ensure(
+                    len(qp.commit_openings[l][0]) == A * D,
+                    "InvalidProofShape",
+                    "fold row width",
+                )
+            openings = [
+                BatchOpening(
+                    opened_rows=[np.asarray(qp.commit_openings[l][0], np.uint64)],
+                    path=qp.commit_openings[l][1],
+                )
+                for qp in proof.query_proofs
+            ]
+            ensure(
+                _mmcs_verify_batch_queries(
+                    self.mmcs,
+                    proof.commit_caps[l],
+                    [(A * D, 1 << (log_size - a_bits))],
+                    pos >> a_bits,
+                    openings,
+                ),
+                "InvalidOpeningArgument",
+                "commit-phase Merkle path",
+            )
+            log_size -= a_bits
+            pos = pos >> a_bits
+
+    def _verify_query(
+        self, rounds, alpha, betas, proof, index, qp, log_max, log_max_ro, schedule,
+        skip_merkle: bool = False,
+    ):
         he, hf = self.he, self.hf
         ensure(len(qp.input_openings) == len(rounds), "InvalidProofShape", "round count")
         ro: Dict[int, ExtVal] = {}
@@ -654,7 +926,7 @@ class TwoAdicFriPcs:
             r_index = index >> (log_max - round_log_max)
             dims = [(w, 1 << (log_n + self.log_blowup)) for log_n, w, _ in mats]
             ensure(
-                self.mmcs.verify_batch(cap, dims, r_index, opening),
+                skip_merkle or self.mmcs.verify_batch(cap, dims, r_index, opening),
                 "InvalidOpeningArgument",
                 "input Merkle path",
             )
@@ -695,7 +967,8 @@ class TwoAdicFriPcs:
             ensure(len(row) == A * D, "InvalidProofShape", "fold row width")
             opening = BatchOpening(opened_rows=[np.asarray(row, np.uint64)], path=path)
             ensure(
-                self.mmcs.verify_batch(
+                skip_merkle
+                or self.mmcs.verify_batch(
                     proof.commit_caps[l],
                     [(A * D, 1 << (log_size - a_bits))],
                     pos >> a_bits,
