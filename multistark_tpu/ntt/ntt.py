@@ -149,19 +149,29 @@ class NttEngine:
 
     def _dif_impl(self, x, tw):
         """DIF stages: natural input -> bit-reversed output."""
+        return self._dif_stages(x, tuple(reversed(tw)))
+
+    def _dif_stages(self, x, tw_desc):
+        """Apply DIF butterfly stages in the given order; each stage's
+        geometry derives from its twiddle length (half = len(t), block
+        m = 2·half).  Passing a SUFFIX of the stage list applies only the
+        fine stages — the device-local part of a row-sharded transform
+        (parallel.py), where the coarse stages run with cyclically sharded
+        twiddle tables."""
         F = self.F
-        log_n = len(tw)
-        n = 1 << log_n
         lead = jax.tree.leaves(x)[0].shape[:-1]
+        n = jax.tree.leaves(x)[0].shape[-1]
         groups = int(np.prod(lead, dtype=np.int64)) if lead else 1
-        for s in range(log_n, 0, -1):
-            m = 1 << s
-            half = m >> 1
+        for t in tw_desc:
+            half = jax.tree.leaves(t)[0].shape[-1]
+            m = 2 * half
             k = groups * (n // m)
             xr = jax.tree.map(lambda a: a.reshape(k, 2, half), x)
             a = jax.tree.map(lambda v: v[:, 0, :].reshape(-1), xr)
             b = jax.tree.map(lambda v: v[:, 1, :].reshape(-1), xr)
-            twf = jax.tree.map(lambda t: jnp.broadcast_to(t, (k, half)).reshape(-1), tw[s - 1])
+            twf = jax.tree.map(
+                lambda v: jnp.broadcast_to(v.reshape(-1), (k, half)).reshape(-1), t
+            )
             lo = F.add(a, b)
             hi = F.mul(F.sub(a, b), twf)
             x = jax.tree.map(

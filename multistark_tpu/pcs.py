@@ -147,30 +147,63 @@ class TwoAdicFriPcs:
     def commit(self, domains_and_mats) -> Tuple[np.ndarray, PcsProverData]:
         """domains_and_mats: [(TwoAdicCoset, natural-order evals (w, n))].
         LDEs land on GENERATOR·H_{n·B}, bit-reversed (reference
-        src/prover.rs:336-350 commit path)."""
+        src/prover.rs:336-350 commit path).
+
+        Under an active prover mesh (parallel.use_mesh) every matrix tall
+        enough runs the four-step sharded LDE and its Merkle subtree stays
+        device-local; results are bit-identical to the unsharded path."""
+        from . import parallel
+
+        pm = parallel.current_mesh()
         ldes = []
         logs = []
         for dom, mat in domains_and_mats:
             shift = self.hf.mul(self.hf.generator, self.hf.inv(dom.shift))
-            ldes.append(self.engine.coset_lde_bitrev(mat, dom.log_n, self.log_blowup, shift))
+            big = dom.log_n + self.log_blowup
+            if pm is not None and (1 << big) >= pm.n * pm.n:
+                ldes.append(
+                    parallel.sharded_coset_lde_bitrev(
+                        self.engine, pm, mat, dom.log_n, self.log_blowup, shift
+                    )
+                )
+            else:
+                ldes.append(
+                    self.engine.coset_lde_bitrev(mat, dom.log_n, self.log_blowup, shift)
+                )
             logs.append(dom.log_n)
-        cap, mdata = self.mmcs.commit(ldes)
+        cap, mdata = self._mmcs_commit(pm, ldes)
         return cap, PcsProverData(mdata, logs, self.log_blowup)
 
     def commit_from_coeffs(self, coeff_mats) -> Tuple[np.ndarray, PcsProverData]:
         """coeff_mats: [(w, n) natural coefficient matrices].  Commits their
         evals on GENERATOR·H_{n·B} directly from coefficients — the fused
         quotient commit path (reference src/prover.rs:681-717 commit_ldes)."""
+        from . import parallel
+
+        pm = parallel.current_mesh()
         ldes = []
         logs = []
         for coeffs in coeff_mats:
             n = jax.tree.leaves(coeffs)[0].shape[-1]
             log_n = n.bit_length() - 1
+            big = log_n + self.log_blowup
             shifted = self.F.mul(coeffs, self.engine.pow_table(self.hf.generator, n))
-            ldes.append(self.engine.lde_bitrev_from_coeffs(shifted, log_n + self.log_blowup))
+            if pm is not None and (1 << big) >= pm.n * pm.n:
+                ldes.append(
+                    parallel.sharded_lde_bitrev_from_coeffs(self.engine, pm, shifted, big)
+                )
+            else:
+                ldes.append(self.engine.lde_bitrev_from_coeffs(shifted, big))
             logs.append(log_n)
-        cap, mdata = self.mmcs.commit(ldes)
+        cap, mdata = self._mmcs_commit(pm, ldes)
         return cap, PcsProverData(mdata, logs, self.log_blowup)
+
+    def _mmcs_commit(self, pm, ldes):
+        if pm is not None:
+            from . import parallel
+
+            return parallel.sharded_mmcs_commit(self.mmcs, pm, ldes)
+        return self.mmcs.commit(ldes)
 
     def get_evaluations_on_domain(self, data: PcsProverData, idx: int, domain: TwoAdicCoset):
         """Natural-order evals of matrix `idx` on `domain` (must be the

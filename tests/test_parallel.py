@@ -1,0 +1,100 @@
+"""Row-sharded proving (parallel.py): the four-step sharded DIF/LDE and
+block-sharded Merkle commits must be bit-identical to the single-device
+path, and a FULL prove under use_mesh must produce byte-identical proofs.
+Runs on the 8-virtual-device CPU mesh (conftest)."""
+
+import numpy as np
+import jax
+import pytest
+from jax.sharding import Mesh
+
+from multistark_tpu import expr as ex
+from multistark_tpu import parallel as par
+from multistark_tpu.config import CommitmentParameters, FriParameters
+from multistark_tpu.configs import GoldilocksBlake3Config
+from multistark_tpu.fields.device import GL_OPS
+from multistark_tpu.merkle import Blake3FieldHasher, MerkleMmcs
+from multistark_tpu.ntt import get_engine
+from multistark_tpu.system import CircuitInputs, System, SystemWitness
+
+RNG = np.random.default_rng(5)
+
+
+@pytest.fixture(scope="module")
+def pm():
+    mesh = Mesh(np.array(jax.devices()[:8]), ("rows",))
+    return par.ProverMesh(mesh, "rows")
+
+
+def _mat(w, h):
+    return GL_OPS.from_np(
+        RNG.integers(0, GL_OPS.host.p, size=(w, h), dtype=np.uint64)
+    )
+
+
+class TestShardedNtt:
+    @pytest.mark.parametrize("log_n", [6, 8, 11])
+    def test_dif_matches_single_device(self, pm, log_n):
+        engine = get_engine(GL_OPS)
+        x = _mat(3, 1 << log_n)
+        for inverse in (False, True):
+            got = par.sharded_dif(engine, pm, x, log_n, inverse)
+            ref = engine._dif(x, log_n, inverse)
+            np.testing.assert_array_equal(GL_OPS.to_np(got), GL_OPS.to_np(ref))
+
+    def test_coset_lde_matches_single_device(self, pm):
+        engine = get_engine(GL_OPS)
+        x = _mat(4, 512)
+        shift = GL_OPS.host.generator
+        got = par.sharded_coset_lde_bitrev(engine, pm, x, 9, 2, shift)
+        ref = engine.coset_lde_bitrev(x, 9, 2, shift)
+        np.testing.assert_array_equal(GL_OPS.to_np(got), GL_OPS.to_np(ref))
+        # output is block-sharded along rows (ready for local Merkle subtrees)
+        spec = jax.tree.leaves(got)[0].sharding.spec
+        assert spec[-1] == "rows"
+
+
+class TestShardedCommit:
+    def test_mixed_height_commit_bit_identical(self, pm):
+        mmcs = MerkleMmcs(Blake3FieldHasher(GL_OPS), cap_height=0)
+        mats = [_mat(5, 1 << 9), _mat(3, 1 << 7), _mat(2, 4)]
+        cap_ref, data_ref = mmcs.commit(mats)
+        cap_sh, data_sh = par.sharded_mmcs_commit(mmcs, pm, mats)
+        np.testing.assert_array_equal(cap_ref, cap_sh)
+        for a, b in zip(data_ref.layers, data_sh.layers):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # leaf layer stayed sharded (subtrees were device-local)
+        assert data_sh.layers[0].sharding.spec[0] == "rows"
+
+
+class TestMeshProve:
+    def test_full_prove_byte_identical(self, pm):
+        config = GoldilocksBlake3Config(
+            CommitmentParameters(log_blowup=2, cap_height=0),
+            FriParameters(
+                log_final_poly_len=0,
+                max_log_arity=1,
+                num_queries=4,
+                commit_proof_of_work_bits=1,
+                query_proof_of_work_bits=1,
+            ),
+        )
+        inputs = CircuitInputs(
+            main_width=3,
+            constraints=[ex.main(0) * ex.main(1) - ex.main(2)],
+            ext_constraints=[],
+            lookups=[],
+        )
+        system, key = System.new(config, [inputs])
+        n = 64
+        a = RNG.integers(0, 1 << 31, n, dtype=np.uint64)
+        b = RNG.integers(0, 1 << 31, n, dtype=np.uint64)
+        c = (a.astype(object) * b.astype(object)) % GL_OPS.host.p
+        trace = np.stack([a, b, np.asarray(c, np.uint64)], axis=1)
+        witness = SystemWitness.from_stage_1([trace], system, key)
+
+        proof_ref = system.prove(key, witness)
+        with par.use_mesh(pm.mesh):
+            proof_mesh = system.prove(key, witness)
+        system.verify(proof_mesh)
+        assert proof_ref.to_bytes(config) == proof_mesh.to_bytes(config)
