@@ -34,7 +34,20 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 from .. import expr as ex
-from ..hash.blake3 import IV, MSG_PERM, compress as host_compress
+from ..hash.blake3 import (
+    BLOCK_LEN,
+    CHUNK_END,
+    CHUNK_LEN,
+    CHUNK_START,
+    IV,
+    MSG_PERM,
+    PARENT,
+    ROOT,
+    _left_len,
+    _words_of,
+    blake3_hash,
+    compress as host_compress,
+)
 from ..system import CircuitInputs
 
 RANGE_CHAN = 20
@@ -428,3 +441,67 @@ def blake3_witness(
         range_mult.reshape(-1, 1),
     ]
     return traces, claims
+
+
+# --- hasher-driven claim generation -------------------------------------------
+#
+# The reference ships a from-scratch hasher whose chunk/parent tree generates
+# compression claims from hashing real messages (blake3.rs:32-351, the bench
+# workload at blake3.rs:2216-2340).  Mirror: run the full BLAKE3 tree on a
+# message, record EVERY compression invocation, and turn the recording into
+# the 10-circuit witness.  Multi-chunk messages exercise chunk chaining
+# (block b's input cv = block b-1's output), subtree parents, and the root.
+
+def blake3_hasher_compressions(
+    data: bytes,
+) -> Tuple[bytes, List[Tuple[List[int], List[int], int, int, int]]]:
+    """Hash ``data`` with the full BLAKE3 chunk/parent tree, recording every
+    compression as a claim tuple (cv, block, counter, blen, flags) in
+    invocation order.  Returns (digest, compressions); the digest is
+    asserted against the standalone ``blake3_hash``."""
+    recorded: List[Tuple[List[int], List[int], int, int, int]] = []
+
+    def rec(cv, block, counter, blen, flags):
+        recorded.append((list(cv), list(block), counter, blen, flags))
+        return host_compress(list(cv), list(block), counter, blen, flags)
+
+    def chunk_cv(chunk: bytes, counter: int, root: bool) -> List[int]:
+        cv = list(IV)
+        n_blocks = max(1, (len(chunk) + BLOCK_LEN - 1) // BLOCK_LEN)
+        for b in range(n_blocks):
+            seg = chunk[b * BLOCK_LEN : (b + 1) * BLOCK_LEN]
+            flags = (CHUNK_START if b == 0 else 0) | (
+                (CHUNK_END | (ROOT if root else 0)) if b == n_blocks - 1 else 0
+            )
+            cv = rec(cv, _words_of(seg), counter, len(seg), flags)[:8]
+        return cv
+
+    def subtree(seg: bytes, counter0: int) -> List[int]:
+        n_chunks = (len(seg) + CHUNK_LEN - 1) // CHUNK_LEN
+        if n_chunks == 1:
+            return chunk_cv(seg, counter0, root=False)
+        split = _left_len(n_chunks) * CHUNK_LEN
+        left = subtree(seg[:split], counter0)
+        right = subtree(seg[split:], counter0 + split // CHUNK_LEN)
+        return rec(list(IV), left + right, 0, BLOCK_LEN, PARENT)[:8]
+
+    n_chunks = max(1, (len(data) + CHUNK_LEN - 1) // CHUNK_LEN)
+    if n_chunks == 1:
+        cv = chunk_cv(data, 0, root=True)
+    else:
+        split = _left_len(n_chunks) * CHUNK_LEN
+        left = subtree(data[:split], 0)
+        right = subtree(data[split:], split // CHUNK_LEN)
+        cv = rec(list(IV), left + right, 0, BLOCK_LEN, PARENT | ROOT)[:8]
+    digest = b"".join(w.to_bytes(4, "little") for w in cv)
+    assert digest == blake3_hash(data), "instrumented hasher disagrees with blake3_hash"
+    return digest, recorded
+
+
+def blake3_hasher_witness(data: bytes, limb_bits: int = 8):
+    """Hasher-driven witness: the 10-circuit traces + claims for every
+    compression performed while hashing ``data``.
+    Returns (digest, traces, claims)."""
+    digest, comps = blake3_hasher_compressions(data)
+    traces, claims = blake3_witness(comps, limb_bits)
+    return digest, traces, claims

@@ -14,6 +14,8 @@ from multistark_tpu.hash.blake3 import CHUNK_END, CHUNK_START, IV, ROOT, blake3_
 from multistark_tpu.prover import prove_multiple_claims
 from multistark_tpu.system import System, SystemWitness
 from multistark_tpu.test_circuits.blake3_circuit import (
+    blake3_hasher_compressions,
+    blake3_hasher_witness,
     blake3_system_inputs,
     blake3_witness,
 )
@@ -55,6 +57,43 @@ class TestWitnessConsistency:
             assert t.shape[1] == ci.main_width
         assert traces[0].shape[0] == 1  # one compression row -> height 1? padded
         assert len(claims) == 1 and len(claims[0]) == 1 + 8 + 16 + 4 + 16
+
+
+class TestHasherDriven:
+    """Hasher-level claim generation (reference blake3.rs:32-351): the full
+    chunk/parent tree hashed over real messages, every compression recorded
+    as a provable claim."""
+
+    @pytest.mark.parametrize(
+        "size,min_comps",
+        [(0, 1), (65, 2), (1024, 16), (2048 + 100, 18), (4096, 33)],
+    )
+    def test_compression_count_and_digest(self, size, min_comps):
+        data = bytes(i % 251 for i in range(size))
+        digest, comps = blake3_hasher_compressions(data)
+        assert digest == blake3_hash(data)  # also asserted internally
+        assert len(comps) >= min_comps
+        # multi-chunk messages must include parent compressions
+        if size > 1024:
+            from multistark_tpu.hash.blake3 import PARENT
+
+            assert any(c[4] & PARENT for c in comps)
+
+    def test_hasher_witness_consistency(self):
+        """Multi-chunk message -> 10-circuit witness: chunk chaining (block
+        b's input cv = block b-1's output) and parent nodes all satisfy the
+        compression relation checked inside blake3_witness."""
+        data = bytes((7 * i) % 256 for i in range(3 * 1024 + 77))
+        digest, traces, claims = blake3_hasher_witness(data, limb_bits=4)
+        assert digest == blake3_hash(data)
+        assert len(traces) == 10
+        # one claim per compression; 4 chunks-ish -> dozens of claims
+        assert len(claims) >= 10
+        # the root compression (recorded last) carries the digest in its
+        # output words
+        root_claim = claims[-1]
+        got = b"".join(int(w).to_bytes(4, "little") for w in root_claim[-16:-8])
+        assert got == digest
 
 
 @pytest.mark.skipif(
