@@ -1,21 +1,34 @@
 """Benchmark harness (reference benches/multi_stark.rs).
 
-Workload: the 2-circuit U32Add + preprocessed ByteTable system, FRI params
-log_blowup=2, cap_height=0, 100 queries, max_log_arity=1, PoW 10+10 bits —
-exactly the reference bench configuration (benches/multi_stark.rs:244-258).
+Workloads:
+  u32_add (default): the 2-circuit U32Add + preprocessed ByteTable system,
+      FRI params log_blowup=2, cap_height=0, 100 queries, max_log_arity=1,
+      PoW 10+10 bits — exactly the reference bench configuration
+      (benches/multi_stark.rs:244-258), swept over trace heights like the
+      reference's 2^12/2^13/2^14 criterion groups (multi_stark.rs:272-328).
+  blake3: the 10-circuit compression-family flagship driven by the real
+      hasher — every compression claim from hashing a BENCH_MSG_KIB-KiB
+      message (reference blake3.rs:2216-2340).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
-prove wall-clock at the benchmark height (warm — jit compile excluded, as
-criterion excludes Rust codegen).  Extra diagnostics go to stderr.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "sizes"}.
+The headline value is the best warm prove at the LARGEST size; "sizes"
+carries the full sweep (prove best/median, verify, proof bytes, peak RSS,
+per-span breakdown).  vs_baseline is null: the reference publishes no
+numbers and no Rust toolchain exists here (BASELINE.md) — it stays null
+until a measured baseline lands.  Extra diagnostics go to stderr.
 
 Env knobs:
-  BENCH_LOG_N   trace height exponent (default 14)
-  BENCH_ITERS   measured iterations (default 3)
-  BENCH_VERIFY  also time verification (default 1)
+  BENCH_WORKLOAD  u32_add | blake3            (default u32_add)
+  BENCH_SIZES     comma list of log2 heights  (default BENCH_LOG_N or 14)
+  BENCH_LOG_N     single-size back-compat knob
+  BENCH_ITERS     measured iterations         (default 3)
+  BENCH_VERIFY    also time verification      (default 1)
+  BENCH_MSG_KIB   blake3 message size in KiB  (default 4)
 """
 
 import json
 import os
+import resource
 import sys
 import time
 
@@ -28,28 +41,14 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def main():
-    import jax
+def peak_rss_mib() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/multistark_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+def reference_fri_params():
     from multistark_tpu.config import CommitmentParameters, FriParameters
-    from multistark_tpu.configs import GoldilocksBlake3Config
-    from multistark_tpu.profiling import reset_spans, span_times
-    from multistark_tpu.prover import prove_multiple_claims
-    from multistark_tpu.system import System, SystemWitness
-    from multistark_tpu.test_circuits import u32_add_system_inputs, u32_add_witness
-    from multistark_tpu.verifier import verify_multiple_claims
 
-    # 2^14 = BASELINE.json's primary size; cold axon-backend compile is
-    # ~20 min (excluded from the metric via the warmup iteration)
-    log_n = int(os.environ.get("BENCH_LOG_N", "14"))
-    iters = int(os.environ.get("BENCH_ITERS", "3"))
-    n = 1 << log_n
-    log(f"bench: u32_add+byte_table at 2^{log_n} rows on {jax.default_backend()}")
-
-    config = GoldilocksBlake3Config(
+    return (
         CommitmentParameters(log_blowup=2, cap_height=0),
         FriParameters(
             log_final_poly_len=0,
@@ -59,49 +58,133 @@ def main():
             query_proof_of_work_bits=10,
         ),
     )
-    system, key = System.new(config, u32_add_system_inputs())
 
-    # deterministic xorshift-style witness (reference benches/multi_stark.rs:171-238)
+
+def u32_add_case(log_n: int):
+    """The reference bench workload at height 2^log_n
+    (benches/multi_stark.rs:73-165: U32Add + preprocessed ByteTable)."""
+    from multistark_tpu.configs import GoldilocksBlake3Config
+    from multistark_tpu.system import System
+    from multistark_tpu.test_circuits import u32_add_system_inputs, u32_add_witness
+
+    commit, fri = reference_fri_params()
+    config = GoldilocksBlake3Config(commit, fri)
+    system, key = System.new(config, u32_add_system_inputs())
+    n = 1 << log_n
     rng = np.random.default_rng(0xDEADBEEF)
     xs = rng.integers(0, 1 << 32, n, dtype=np.uint64)
     ys = rng.integers(0, 1 << 32, n, dtype=np.uint64)
-    pairs = list(zip(xs.tolist(), ys.tolist()))
-    traces, claims = u32_add_witness(pairs, n)
+    traces, claims = u32_add_witness(list(zip(xs.tolist(), ys.tolist())), n)
+    return config, system, key, traces, claims
+
+
+def blake3_case(msg_kib: int):
+    """The hasher-driven 10-circuit flagship: all compression claims from
+    hashing a msg_kib-KiB message (reference blake3.rs:2216-2340)."""
+    from multistark_tpu.configs import GoldilocksBlake3Config
+    from multistark_tpu.system import System
+    from multistark_tpu.test_circuits.blake3_circuit import (
+        blake3_hasher_witness,
+        blake3_system_inputs,
+    )
+
+    commit, fri = reference_fri_params()
+    config = GoldilocksBlake3Config(commit, fri)
+    system, key = System.new(config, blake3_system_inputs(limb_bits=8))
+    data = bytes(i % 251 for i in range(msg_kib * 1024))
+    digest, traces, claims = blake3_hasher_witness(data, limb_bits=8)
+    log(f"blake3 workload: {msg_kib} KiB message -> {len(claims)} compression claims, "
+        f"trace heights {[t.shape[0] for t in traces]}")
+    return config, system, key, traces, claims
+
+
+def run_case(label: str, config, system, key, traces, claims, iters: int):
+    import jax
+
+    from multistark_tpu.profiling import reset_spans, span_times
+    from multistark_tpu.prover import prove_multiple_claims
+    from multistark_tpu.system import SystemWitness
+    from multistark_tpu.verifier import verify_multiple_claims
 
     t0 = time.time()
     witness = SystemWitness.from_stage_1(traces, system, key)
     jax.block_until_ready(witness.traces[0])
-    log(f"witness build: {time.time() - t0:.2f}s")
+    log(f"[{label}] witness build: {time.time() - t0:.2f}s")
 
-    # warmup (compiles everything)
+    # warmup (compiles everything; criterion likewise excludes Rust codegen)
     t0 = time.time()
     proof = prove_multiple_claims(system, key, witness, claims)
-    log(f"prove warmup (incl. compile): {time.time() - t0:.2f}s")
+    log(f"[{label}] prove warmup (incl. compile): {time.time() - t0:.2f}s")
 
     times = []
+    spans = {}
     for i in range(iters):
         reset_spans()
         t0 = time.time()
         proof = prove_multiple_claims(system, key, witness, claims)
         dt = time.time() - t0
         times.append(dt)
-        log(f"prove[{i}]: {dt:.3f}s  spans: "
-            + " ".join(f"{k.split('/')[-1]}={v:.2f}" for k, v in sorted(span_times().items())))
+        spans = {k.split("/", 1)[-1]: round(v, 3) for k, v in sorted(span_times().items())}
+        log(f"[{label}] prove[{i}]: {dt:.3f}s  spans: "
+            + " ".join(f"{k.split('/')[-1]}={v:.2f}" for k, v in spans.items()))
 
+    result = {
+        "prove_best_s": round(min(times), 4),
+        "prove_median_s": round(sorted(times)[len(times) // 2], 4),
+        "proof_bytes": len(proof.to_bytes(config)),
+        "peak_rss_mib": round(peak_rss_mib(), 1),
+        "spans": spans,
+    }
     if os.environ.get("BENCH_VERIFY", "1") != "0":
         t0 = time.time()
         verify_multiple_claims(system, claims, proof)
-        log(f"verify: {time.time() - t0:.3f}s")
-    log(f"proof size: {len(proof.to_bytes())} bytes")
+        result["verify_s"] = round(time.time() - t0, 4)
+        log(f"[{label}] verify: {result['verify_s']:.3f}s")
+    return result
 
-    best = min(times)
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/multistark_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    workload = os.environ.get("BENCH_WORKLOAD", "u32_add")
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    backend = jax.default_backend()
+
+    if workload == "blake3":
+        msg_kib = int(os.environ.get("BENCH_MSG_KIB", "4"))
+        log(f"bench: blake3 hasher family ({msg_kib} KiB) on {backend}")
+        sizes = {f"{msg_kib}KiB": run_case(
+            f"blake3/{msg_kib}KiB", *blake3_case(msg_kib), iters
+        )}
+        headline_key = f"{msg_kib}KiB"
+        metric = f"blake3_hasher_{msg_kib}KiB_prove_wall"
+    else:
+        default_sizes = os.environ.get("BENCH_LOG_N", "14")
+        size_list = [
+            int(s) for s in os.environ.get("BENCH_SIZES", default_sizes).split(",")
+        ]
+        log(f"bench: u32_add+byte_table at {['2^%d' % s for s in size_list]} rows on {backend}")
+        sizes = {}
+        for log_n in size_list:
+            sizes[f"2^{log_n}"] = run_case(
+                f"u32_add/2^{log_n}", *u32_add_case(log_n), iters
+            )
+        headline = max(size_list)
+        headline_key = f"2^{headline}"
+        metric = f"u32_add_prove_2^{headline}_wall"
+
     print(
         json.dumps(
             {
-                "metric": f"u32_add_prove_2^{log_n}_wall",
-                "value": round(best, 4),
+                "metric": metric,
+                "value": sizes[headline_key]["prove_best_s"],
                 "unit": "s",
-                "vs_baseline": 1.0,
+                "vs_baseline": None,
+                "backend": backend,
+                "sizes": sizes,
             }
         )
     )
