@@ -139,6 +139,36 @@ void msb3_hash(const uint8_t *data, uint64_t len, uint8_t out[32]) {
         for (int j = 0; j < 4; j++) out[4 * i + j] = (uint8_t)(cv[i] >> (8 * j));
 }
 
+/* Merkle 2-to-1 compress batched over n digest pairs: left/right are n×8
+ * u32 word rows, out receives n×8 word digests.  Matches the single-block
+ * convention of np_compress_pairs (cv=IV, counter 0, blen 64,
+ * CHUNK_START|CHUNK_END|ROOT — a 64-byte single-chunk message). */
+void msb3_compress_pairs(const uint32_t *left, const uint32_t *right,
+                         uint64_t n, uint32_t *out) {
+    uint32_t block[16], out16[16];
+    for (uint64_t i = 0; i < n; i++) {
+        memcpy(block, left + 8 * i, 32);
+        memcpy(block + 8, right + 8 * i, 32);
+        compress(IV, block, 0, BLOCK_LEN, CHUNK_START | CHUNK_END | ROOT, out16);
+        memcpy(out + 8 * i, out16, 32);
+    }
+}
+
+/* Full BLAKE3 over n equal-length messages laid out contiguously (stride
+ * bytes apart, len <= stride bytes each); out receives n×8 u32-LE digest
+ * words. */
+void msb3_hash_batch(const uint8_t *data, uint64_t stride, uint64_t len,
+                     uint64_t n, uint32_t *out) {
+    uint8_t d[32];
+    for (uint64_t i = 0; i < n; i++) {
+        msb3_hash(data + i * stride, len, d);
+        for (int w = 0; w < 8; w++)
+            out[8 * i + w] = (uint32_t)d[4 * w] | ((uint32_t)d[4 * w + 1] << 8) |
+                             ((uint32_t)d[4 * w + 2] << 16) |
+                             ((uint32_t)d[4 * w + 3] << 24);
+    }
+}
+
 /* Grind helper: hash (prefix ‖ witness_le8) for witness in [start, start+count)
  * and return the first witness whose top-8 digest bytes, read as the
  * challenger's popped-byte u64, are < p and have the low `bits` bits zero.

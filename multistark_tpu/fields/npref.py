@@ -136,3 +136,129 @@ def bb_pow(a, e: int):
 
 def bb_inv(a):
     return bb_pow(a, BABYBEAR.p - 2)
+
+# --- vectorized base/extension algebra (batched host verifier) ---------------
+#
+# The verifier's per-query arithmetic (reduced openings, fold walk, final
+# poly) is pure host field math; done one query at a time in Python it costs
+# hundreds of ms.  These wrappers run the SAME algebra over (Q, ...) uint64
+# arrays so the whole query set is a handful of NumPy passes
+# (pcs.TwoAdicFriPcs._verify_queries_batched).
+
+
+class NpField:
+    """Vectorized mod-p ops over uint64 ndarrays for one host field."""
+
+    def __init__(self, host):
+        self.host = host
+        self.p = np.uint64(host.p)
+        if host.name == "Goldilocks":
+            self.add, self.sub, self.mul = gl_add, gl_sub, gl_mul
+            self.neg, self.inv, self.pow = gl_neg, gl_inv, gl_pow
+        elif host.name == "BabyBear":
+            self.add, self.sub, self.mul = bb_add, bb_sub, bb_mul
+            self.neg, self.inv, self.pow = bb_neg, bb_inv, bb_pow
+        else:
+            raise KeyError(host.name)
+
+    def reduce(self, a: np.ndarray) -> np.ndarray:
+        """Exact mod p of arbitrary uint64 values."""
+        return np.asarray(a, np.uint64) % self.p
+
+    def pow_vec(self, base: int, exps: np.ndarray, max_bits: int) -> np.ndarray:
+        """base^exps with PER-ELEMENT exponents < 2^max_bits."""
+        exps = np.asarray(exps, np.uint64)
+        r = np.ones_like(exps)
+        sq = np.uint64(base % self.host.p)
+        for bit in range(max_bits):
+            take = ((exps >> np.uint64(bit)) & np.uint64(1)).astype(bool)
+            r = np.where(take, self.mul(r, sq), r)
+            sq = self.mul(sq, sq)
+        return r
+
+    def sum_axis(self, a: np.ndarray, axis: int) -> np.ndarray:
+        """Sum mod p along `axis` by pairwise halving (stays in uint64)."""
+        a = np.moveaxis(np.asarray(a, np.uint64), axis, 0)
+        while a.shape[0] > 1:
+            if a.shape[0] & 1:
+                a = np.concatenate([a, np.zeros((1,) + a.shape[1:], np.uint64)])
+            a = self.add(a[0::2], a[1::2])
+        return a[0]
+
+
+def reverse_bits_vec(x: np.ndarray, bits: int) -> np.ndarray:
+    """Bit-reverse each element within `bits` bits."""
+    x = np.asarray(x, np.uint64)
+    r = np.zeros_like(x)
+    for i in range(bits):
+        r |= ((x >> np.uint64(i)) & np.uint64(1)) << np.uint64(bits - 1 - i)
+    return r
+
+
+class NpExt:
+    """Vectorized binomial extension F_p[X]/(X^D - W): elements are
+    (..., D) uint64 arrays (coordinate i = coefficient of X^i, matching
+    HostExtField)."""
+
+    def __init__(self, nf: "NpField", he):
+        self.nf = nf
+        self.he = he
+        self.D = he.D
+        self.W = np.uint64(he.w % he.base.p)
+
+    def of_scalar(self, a, shape=()) -> np.ndarray:
+        """Host ext tuple -> broadcast (..., D) array."""
+        v = np.asarray([int(c) % self.nf.host.p for c in a], np.uint64)
+        return np.broadcast_to(v, tuple(shape) + (self.D,)).copy()
+
+    def from_base_vec(self, b: np.ndarray) -> np.ndarray:
+        out = np.zeros(b.shape + (self.D,), np.uint64)
+        out[..., 0] = b
+        return out
+
+    def add(self, a, b):
+        return self.nf.add(a, b)
+
+    def sub(self, a, b):
+        return self.nf.sub(a, b)
+
+    def mul(self, a, b):
+        """Schoolbook (..., D)x(..., D) with X^D = W wraparound; D <= 4 so
+        the D^2 coordinate products are fine."""
+        nf, D = self.nf, self.D
+        a = np.asarray(a, np.uint64)
+        b = np.asarray(b, np.uint64)
+        out = np.zeros(np.broadcast_shapes(a.shape, b.shape), np.uint64)
+        for i in range(D):
+            for j in range(D):
+                t = nf.mul(a[..., i], b[..., j])
+                k = i + j
+                if k >= D:
+                    k -= D
+                    t = nf.mul(t, self.W)
+                out[..., k] = nf.add(out[..., k], t)
+        return out
+
+    def scale(self, a, b_base):
+        """(..., D) ext times (...,) base."""
+        return self.nf.mul(a, np.asarray(b_base, np.uint64)[..., None])
+
+    def batch_inv(self, a: np.ndarray) -> np.ndarray:
+        """(Q, D) -> elementwise inverses: two Hillis-Steele product scans
+        + ONE scalar host inversion (Montgomery trick, vectorized)."""
+        he = self.he
+        Q = a.shape[0]
+        pre = a.copy()  # pre[i] = a[0]*...*a[i]
+        suf = a.copy()  # suf[i] = a[i]*...*a[Q-1]
+        s = 1
+        while s < Q:
+            pre[s:] = self.mul(pre[s:], pre[:-s])
+            suf[:-s] = self.mul(suf[:-s], suf[s:])
+            s <<= 1
+        total_inv = self.of_scalar(he.inv(tuple(int(c) for c in pre[-1])))
+        # inv(a[i]) = (a[0..i-1]) * total_inv * (a[i+1..])
+        pre_excl = np.roll(pre, 1, axis=0)
+        pre_excl[0] = self.of_scalar(he.one)
+        suf_excl = np.roll(suf, -1, axis=0)
+        suf_excl[-1] = self.of_scalar(he.one)
+        return self.mul(self.mul(pre_excl, suf_excl), total_inv)

@@ -52,6 +52,11 @@ def _native_lib():
             ctypes.c_uint64, ctypes.c_uint32, ctypes.c_uint64,
         ]
         lib.msb3_grind.restype = ctypes.c_uint64
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.msb3_compress_pairs.argtypes = [u32p, u32p, ctypes.c_uint64, u32p]
+        lib.msb3_hash_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, u32p,
+        ]
         _NATIVE = lib
     except Exception:
         _NATIVE = None
@@ -439,6 +444,44 @@ def np_compress_pairs(left: np.ndarray, right: np.ndarray) -> np.ndarray:
     cv = [np.full(B, IV[i], np.uint32) for i in range(8)]
     out = np_compress_batch(cv, block, 0, BLOCK_LEN, CHUNK_START | CHUNK_END | ROOT)
     return np.stack(out, axis=1)
+
+
+def native_compress_pairs(left: np.ndarray, right: np.ndarray):
+    """C-accelerated np_compress_pairs; None if the native lib is absent."""
+    import ctypes
+
+    lib = _native_lib()
+    if lib is None:
+        return None
+    left = np.ascontiguousarray(left, np.uint32)
+    right = np.ascontiguousarray(right, np.uint32)
+    n = left.shape[0]
+    out = np.empty((n, 8), np.uint32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.msb3_compress_pairs(
+        left.ctypes.data_as(u32p), right.ctypes.data_as(u32p), n,
+        out.ctypes.data_as(u32p),
+    )
+    return out
+
+
+def native_hash_words(words: np.ndarray):
+    """C-accelerated np_hash_words ((B, W) uint32 word messages -> (B, 8)
+    digests); None if the native lib is absent."""
+    import ctypes
+
+    lib = _native_lib()
+    if lib is None:
+        return None
+    words = np.ascontiguousarray(words, np.uint32)
+    B, W = words.shape
+    out = np.empty((B, 8), np.uint32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.msb3_hash_batch(
+        words.ctypes.data_as(ctypes.c_char_p), W * 4, W * 4, B,
+        out.ctypes.data_as(u32p),
+    )
+    return out
 
 
 def digest_to_bytes(digest_row: np.ndarray) -> bytes:

@@ -67,17 +67,19 @@ class Blake3FieldHasher:
     # -- host, batched over queries (the fast verifier path) --------------
     def np_hash_rows_batch(self, rows_u64: np.ndarray) -> np.ndarray:
         """rows_u64: (B, total_w) uint64 -> (B, 8) digests (u64-LE words)."""
-        from .hash.blake3 import np_hash_words
+        from .hash.blake3 import native_hash_words, np_hash_words
 
         lo = (rows_u64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         hi = (rows_u64 >> np.uint64(32)).astype(np.uint32)
         words = np.stack([lo, hi], axis=-1).reshape(rows_u64.shape[0], -1)
-        return np_hash_words(words)
+        out = native_hash_words(words)
+        return out if out is not None else np_hash_words(words)
 
     def np_compress_batch(self, left: np.ndarray, right: np.ndarray) -> np.ndarray:
-        from .hash.blake3 import np_compress_pairs
+        from .hash.blake3 import native_compress_pairs, np_compress_pairs
 
-        return np_compress_pairs(left, right)
+        out = native_compress_pairs(left, right)
+        return out if out is not None else np_compress_pairs(left, right)
 
 
 @dataclass

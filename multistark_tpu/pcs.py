@@ -875,19 +875,30 @@ class TwoAdicFriPcs:
         indices = [challenger.sample_bits(log_max) for _ in range(fri.num_queries)]
         ensure(len(proof.query_proofs) == len(indices), "InvalidProofShape", "query count")
 
-        # Merkle path checks batched over all queries (NumPy-vectorized hash
-        # walk; ~100x fewer Python hash calls), when the hasher supports it;
-        # the per-query arithmetic walk below then skips the hash work.
-        batched = hasattr(self.mmcs.hasher, "np_hash_rows_batch")
+        # Batched verification over all queries at once: vectorized Merkle
+        # hash walks (native C / NumPy) + vectorized field arithmetic for the
+        # reduced openings, fold walk, and final-poly check.  Falls back to
+        # the per-query reference walk for hashers/fields without batch
+        # support (and the per-query path stays as the pinned cross-check in
+        # tests/test_verify_batched.py).
+        import os
+
+        mode = os.environ.get("MULTISTARK_VERIFY_MODE", "auto")
+        batched = hasattr(self.mmcs.hasher, "np_hash_rows_batch") and mode != "perquery"
         if batched:
             self._verify_merkle_batched(
                 rounds, proof, indices, log_max, log_max_ro, schedule
             )
-        for index, qp in zip(indices, proof.query_proofs):
-            self._verify_query(
-                rounds, alpha, betas, proof, index, qp, log_max, log_max_ro, schedule,
-                skip_merkle=batched,
+        if batched and self.hf.name in ("Goldilocks", "BabyBear"):
+            self._verify_queries_batched(
+                rounds, alpha, betas, proof, indices, log_max, log_max_ro, schedule
             )
+        else:
+            for index, qp in zip(indices, proof.query_proofs):
+                self._verify_query(
+                    rounds, alpha, betas, proof, index, qp, log_max, log_max_ro,
+                    schedule, skip_merkle=batched,
+                )
 
     def _verify_merkle_batched(self, rounds, proof, indices, log_max, log_max_ro, schedule):
         from .merkle import _mmcs_verify_batch_queries
@@ -945,6 +956,158 @@ class TwoAdicFriPcs:
             )
             log_size -= a_bits
             pos = pos >> a_bits
+
+    def _verify_queries_batched(
+        self, rounds, alpha, betas, proof, indices, log_max, log_max_ro, schedule
+    ):
+        """All-queries-at-once mirror of _verify_query's arithmetic (reduced
+        openings, fold walk, final poly) over (Q, ...) uint64 arrays — same
+        checks, same error kinds, two orders of magnitude fewer Python field
+        ops.  Merkle paths are checked separately by _verify_merkle_batched."""
+        from .fields.npref import NpExt, NpField, reverse_bits_vec
+
+        he, hf = self.he, self.hf
+        nf = NpField(hf)
+        ne = NpExt(nf, he)
+        Q = len(indices)
+        D = he.D
+        idx = np.asarray(indices, np.uint64)
+
+        def stack_rows(get, width, what):
+            try:
+                rows = np.stack([
+                    np.asarray(get(qp), np.uint64) for qp in proof.query_proofs
+                ])
+            except ValueError:
+                ensure(False, "InvalidProofShape", what)
+            ensure(rows.ndim == 2 and rows.shape[1] == width, "InvalidProofShape", what)
+            return nf.reduce(rows)
+
+        def x_vec(log_size, shift, positions):
+            """host_x_at vectorized: shift · g^{brev(pos)} (and its inverse
+            pattern is handled by callers via inverted inputs)."""
+            g = hf.two_adic_generator(log_size)
+            return nf.mul(
+                np.uint64(shift % hf.p),
+                nf.pow_vec(g, reverse_bits_vec(positions, log_size), log_size),
+            )
+
+        for qp in proof.query_proofs:
+            ensure(len(qp.input_openings) == len(rounds), "InvalidProofShape", "round count")
+            ensure(len(qp.commit_openings) == len(betas), "InvalidProofShape", "level count")
+
+        # -- reduced openings (alpha-combined opened values / (x - z))
+        apow_cache = [he.one]
+
+        def apows(lo, hi):
+            while len(apow_cache) < hi:
+                apow_cache.append(he.mul(apow_cache[-1], alpha))
+            return apow_cache[lo:hi]
+
+        ro: Dict[int, np.ndarray] = {}
+        offsets: Dict[int, int] = {}
+        pending = []  # (log_lde, numerator (Q, D), denominator (Q, D))
+        for r, (cap, mats) in enumerate(rounds):
+            for m_idx, (log_n, w, pts) in enumerate(mats):
+                if not pts:
+                    continue
+                log_lde = log_n + self.log_blowup
+                rows = stack_rows(
+                    lambda qp: qp.input_openings[r].opened_rows[m_idx], w, "row width"
+                )
+                xb = x_vec(log_lde, hf.generator, idx >> np.uint64(log_max - log_lde))
+                off = offsets.get(log_lde, 0)
+                for z, vals in pts:
+                    ensure(len(vals) == w, "InvalidProofShape", "opened values width")
+                    ap = apows(off, off + w)
+                    amat = np.asarray(
+                        [[int(c) % hf.p for c in a] for a in ap], np.uint64
+                    )  # (w, D)
+                    # sum_j alpha^{off+j} · row_qj  (base rows scale each coord)
+                    num = nf.sum_axis(nf.mul(rows[:, :, None], amat[None, :, :]), 1)
+                    cs = he.zero  # sum_j alpha^{off+j} · vals_j (scalar)
+                    for a_, v in zip(ap, vals):
+                        cs = he.add(cs, he.mul(a_, v))
+                    num = ne.sub(num, ne.of_scalar(cs, (Q,)))
+                    denom = ne.sub(ne.from_base_vec(xb), ne.of_scalar(z, (Q,)))
+                    pending.append((log_lde, num, denom))
+                    off += w
+                offsets[log_lde] = off
+                ro.setdefault(log_lde, None)
+        if pending:
+            denoms = np.concatenate([d for _, _, d in pending])
+            ensure(
+                not np.all(denoms == 0, axis=1).any(),
+                "InvalidOpeningArgument",
+                "OOD point on evaluation domain",
+            )
+            invs = ne.batch_inv(denoms)
+            o = 0
+            for log_lde, num, _ in pending:
+                term = ne.mul(num, invs[o : o + Q])
+                o += Q
+                ro[log_lde] = term if ro[log_lde] is None else ne.add(ro[log_lde], term)
+
+        # -- fold walk
+        log_size = log_max_ro
+        pos = idx >> np.uint64(log_max - log_max_ro)
+        value = ro.get(log_max_ro)
+        if value is None:
+            value = ne.of_scalar(he.zero, (Q,))
+        for l, (beta, a_bits) in enumerate(zip(betas, schedule)):
+            A = 1 << a_bits
+            vals = stack_rows(
+                lambda qp: qp.commit_openings[l][0], A * D, "fold row width"
+            ).reshape(Q, A, D)
+            sel = vals[np.arange(Q), (pos & np.uint64(A - 1)).astype(np.int64)]
+            ensure(np.array_equal(sel, value), "InvalidOpeningArgument", "fold consistency")
+            shift = self._shift_at(log_max_ro, log_size)
+            value = self._np_fold_block(
+                ne, vals, log_size, shift, pos - (pos & np.uint64(A - 1)), beta
+            )
+            log_size -= a_bits
+            pos = pos >> np.uint64(a_bits)
+            if log_size in ro and ro[log_size] is not None:
+                value = ne.add(value, ro[log_size])
+
+        shift = self._shift_at(log_max_ro, log_size)
+        xf = x_vec(log_size, shift, pos)
+        acc = ne.of_scalar(he.zero, (Q,))
+        for c in reversed(proof.final_poly):
+            acc = ne.add(ne.scale(acc, xf), ne.of_scalar(c, (Q,)))
+        ensure(np.array_equal(acc, value), "InvalidOpeningArgument", "final poly mismatch")
+
+    def _np_fold_block(self, ne, vals, log_m: int, shift: int, base, beta):
+        """Vectorized mirror of _host_fold_block: (Q, A, D) opened blocks ->
+        (Q, D) folded values, all queries at once."""
+        from .fields.npref import reverse_bits_vec
+
+        nf, hf = ne.nf, self.hf
+        half_inv = np.uint64(hf.inv(2))
+        beta_v = ne.of_scalar(beta)
+        b = np.asarray(base, np.uint64)
+        A = vals.shape[1]
+        while A > 1:
+            g_inv = hf.inv(hf.two_adic_generator(log_m))
+            shift_inv = np.uint64(hf.inv(shift))
+            outs = []
+            for i in range(A // 2):
+                e = reverse_bits_vec(b + np.uint64(2 * i), log_m)
+                inv_x_even = nf.mul(shift_inv, nf.pow_vec(g_inv, e, log_m))
+                s = ne.scale(ne.add(vals[:, 2 * i], vals[:, 2 * i + 1]), half_inv)
+                d = ne.scale(
+                    ne.sub(vals[:, 2 * i], vals[:, 2 * i + 1]),
+                    nf.mul(half_inv, inv_x_even),
+                )
+                outs.append(ne.add(s, ne.mul(beta_v, d)))
+            vals = np.stack(outs, axis=1)
+            A //= 2
+            log_m -= 1
+            shift = hf.mul(shift, shift)
+            b = b >> np.uint64(1)
+            if A > 1:
+                beta_v = ne.mul(beta_v, beta_v)
+        return vals[:, 0]
 
     def _verify_query(
         self, rounds, alpha, betas, proof, index, qp, log_max, log_max_ro, schedule,
