@@ -189,3 +189,108 @@ uint64_t msb3_grind(const uint8_t *prefix, uint64_t prefix_len, uint64_t start,
     }
     return (uint64_t)-1;
 }
+
+/* ---- Goldilocks F_p[X]/(X^2 - 7) claims accumulator -----------------------
+ * acc = sum_i (beta + sum_j gamma^j * v_ij)^-1 over n claims of L base
+ * values each (reference src/prover.rs:381-387).  Host-linear transcript
+ * work that must run at native speed at 2^20 claims; pinned against the
+ * Python host field in tests/test_lookup.py. */
+
+#define GLP 0xFFFFFFFF00000001ull
+#define GLW 7ull /* X^2 = 7 */
+
+static inline uint64_t gla(uint64_t a, uint64_t b) {
+    uint64_t s = a + b;
+    if (s < a) s += 0xFFFFFFFFull; /* wrap: +2^64 ≡ +(2^32-1) */
+    if (s >= GLP) s -= GLP;
+    return s;
+}
+
+static inline uint64_t gls(uint64_t a, uint64_t b) {
+    uint64_t d = a - b;
+    if (a < b) d -= 0xFFFFFFFFull; /* borrow: -2^64 ≡ -(2^32-1) */
+    return d;
+}
+
+static inline uint64_t glm(uint64_t a, uint64_t b) {
+    unsigned __int128 x = (unsigned __int128)a * b;
+    uint64_t lo = (uint64_t)x, hi = (uint64_t)(x >> 64);
+    uint64_t x2 = hi & 0xFFFFFFFFull, x3 = hi >> 32;
+    uint64_t l = lo >= GLP ? lo - GLP : lo;
+    uint64_t m = x2 * 0xFFFFFFFFull; /* exact, < 2^64 */
+    if (m >= GLP) m -= GLP;
+    return gls(gla(l, m), x3); /* x3 < 2^32 < p */
+}
+
+static inline uint64_t glinv(uint64_t a) { /* Fermat: a^(p-2) */
+    uint64_t r = 1, e = GLP - 2;
+    while (e) {
+        if (e & 1) r = glm(r, a);
+        a = glm(a, a);
+        e >>= 1;
+    }
+    return r;
+}
+
+typedef struct { uint64_t c0, c1; } gl2;
+
+static inline gl2 gl2_add(gl2 a, gl2 b) { return (gl2){gla(a.c0, b.c0), gla(a.c1, b.c1)}; }
+
+static inline gl2 gl2_mul(gl2 a, gl2 b) {
+    return (gl2){gla(glm(a.c0, b.c0), glm(GLW, glm(a.c1, b.c1))),
+                 gla(glm(a.c0, b.c1), glm(a.c1, b.c0))};
+}
+
+static inline uint64_t glneg(uint64_t a) { return a ? GLP - a : 0; }
+
+static inline gl2 gl2_inv(gl2 a) { /* (c0 - c1 X)/(c0^2 - W c1^2) */
+    uint64_t d = gls(glm(a.c0, a.c0), glm(GLW, glm(a.c1, a.c1)));
+    uint64_t di = glinv(d);
+    return (gl2){glm(a.c0, di), glneg(glm(a.c1, di))};
+}
+
+/* vals: n*L row-major canonical base values; gamma/beta: 2 coords each;
+ * scratch: caller-provided n*2 u64 buffer; out: 2 coords.
+ * Returns 0 on success, 1 if some denominator was zero. */
+int msgl_claims_acc2(const uint64_t *vals, uint64_t n, uint64_t L,
+                     const uint64_t *gamma, const uint64_t *beta,
+                     uint64_t *scratch, uint64_t *out) {
+    gl2 g = {gamma[0], gamma[1]}, b = {beta[0], beta[1]};
+    gl2 *d = (gl2 *)scratch;
+    for (uint64_t i = 0; i < n; i++) {
+        gl2 f = {0, 0};
+        const uint64_t *row = vals + i * L;
+        for (uint64_t j = L; j-- > 0;) {
+            f = gl2_mul(f, g);
+            f.c0 = gla(f.c0, row[j]);
+        }
+        d[i] = gl2_add(f, b);
+    }
+    /* Montgomery batch inverse: forward prefix products in place, one
+     * inversion, backward sweep. */
+    gl2 run = {1, 0};
+    for (uint64_t i = 0; i < n; i++) {
+        gl2 di = d[i];
+        if ((di.c0 | di.c1) == 0) return 1;
+        d[i] = run;          /* prefix product BEFORE element i */
+        run = gl2_mul(run, di);
+    }
+    gl2 tinv = gl2_inv(run);
+    /* walk back: inv_i = prefix_i * suffix_inv; suffix_inv *= d_i.
+     * d_i was overwritten, so recompute fingerprints in reverse. */
+    gl2 acc = {0, 0};
+    for (uint64_t i = n; i-- > 0;) {
+        gl2 f = {0, 0};
+        const uint64_t *row = vals + i * L;
+        for (uint64_t j = L; j-- > 0;) {
+            f = gl2_mul(f, g);
+            f.c0 = gla(f.c0, row[j]);
+        }
+        gl2 di = gl2_add(f, b);
+        acc = gl2_add(acc, gl2_mul(d[i], tinv));
+        tinv = gl2_mul(tinv, di);
+    }
+    out[0] = acc.c0;
+    out[1] = acc.c1;
+    return 0;
+}

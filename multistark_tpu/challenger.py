@@ -28,6 +28,49 @@ from .fields.host import HostExtField, HostField
 from .hash.blake3 import blake3_hash
 
 
+def _claims_array(claims) -> np.ndarray:
+    """Homogeneous claims -> (n, L) uint64, preferring NumPy's C-side
+    conversion over a Python comprehension (1M claims at 2^20 rows)."""
+    try:
+        return np.asarray(claims, dtype=np.uint64)
+    except (TypeError, OverflowError, ValueError):
+        return np.asarray([[int(v) % (1 << 64) for v in c] for c in claims], np.uint64)
+
+
+def _canonical_claims_array(claims, p: int):
+    """(n, L) canonical-uint64 claims array, or None if `claims` is not a
+    homogeneous batch worth vectorizing.  Never iterates ndarray rows in
+    Python (that alone costs seconds at 2^20 rows)."""
+    if isinstance(claims, np.ndarray):
+        if claims.ndim != 2 or claims.shape[0] == 0:
+            return None
+        arr = claims.astype(np.uint64, copy=False)
+    else:
+        if len(claims) < 32 or len({len(c) for c in claims}) != 1:
+            return None
+        arr = _claims_array(claims)
+    pp = np.uint64(p)
+    if (arr >= pp).any():
+        arr = arr % pp
+    return arr
+
+
+def observe_claims(ch, claims) -> None:
+    """Observe length-prefixed claims (reference prover.rs:353-373):
+    u64(len(claims)), then per claim u64(len) + each value as a field
+    element.  Dispatches to the challenger's vectorized bulk path when it
+    has one."""
+    fast = getattr(ch, "observe_claims", None)
+    if fast is not None:
+        fast(claims)
+        return
+    ch.observe_u64(len(claims))
+    for claim in claims:
+        ch.observe_u64(len(claim))
+        for v in claim:
+            ch.observe_field(int(v))
+
+
 class ByteHashChallenger:
     OUT_LEN = 32
 
@@ -93,6 +136,25 @@ class SerializingChallenger64:
         """cap: (k, 8) uint32 digest words -> observed as raw bytes."""
         for row in np.atleast_2d(cap):
             self.observe_bytes(b"".join(int(w).to_bytes(4, "little") for w in row))
+
+    def observe_claims(self, claims) -> None:
+        """Length-prefixed claims, byte-identical to the per-element loop
+        (observe_u64(len) then each value as canonical u64-LE) but built as
+        ONE NumPy serialization for homogeneous claim lists — the bench
+        workload has one claim per trace row (benches/multi_stark.rs:220-238),
+        so this is O(rows) Python-call-free."""
+        self.observe_u64(len(claims))
+        arr = _canonical_claims_array(claims, self.F.p)
+        if arr is not None:
+            buf = np.empty((arr.shape[0], arr.shape[1] + 1), dtype="<u8")
+            buf[:, 0] = arr.shape[1]
+            buf[:, 1:] = arr
+            self.inner.observe_slice(buf.tobytes())
+            return
+        for claim in claims:
+            self.observe_u64(len(claim))
+            for v in claim:
+                self.observe_field(int(v))
 
     # -- sampling ---------------------------------------------------------
     def sample_field(self) -> int:

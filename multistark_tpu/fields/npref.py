@@ -244,21 +244,25 @@ class NpExt:
         return self.nf.mul(a, np.asarray(b_base, np.uint64)[..., None])
 
     def batch_inv(self, a: np.ndarray) -> np.ndarray:
-        """(Q, D) -> elementwise inverses: two Hillis-Steele product scans
-        + ONE scalar host inversion (Montgomery trick, vectorized)."""
+        """(Q, D) -> elementwise inverses via a pairwise product TREE
+        (≈3·Q ext muls total vs 2·Q·log Q for a scan) + ONE scalar host
+        inversion at the root (Montgomery trick)."""
         he = self.he
-        Q = a.shape[0]
-        pre = a.copy()  # pre[i] = a[0]*...*a[i]
-        suf = a.copy()  # suf[i] = a[i]*...*a[Q-1]
-        s = 1
-        while s < Q:
-            pre[s:] = self.mul(pre[s:], pre[:-s])
-            suf[:-s] = self.mul(suf[:-s], suf[s:])
-            s <<= 1
-        total_inv = self.of_scalar(he.inv(tuple(int(c) for c in pre[-1])))
-        # inv(a[i]) = (a[0..i-1]) * total_inv * (a[i+1..])
-        pre_excl = np.roll(pre, 1, axis=0)
-        pre_excl[0] = self.of_scalar(he.one)
-        suf_excl = np.roll(suf, -1, axis=0)
-        suf_excl[-1] = self.of_scalar(he.one)
-        return self.mul(self.mul(pre_excl, suf_excl), total_inv)
+        one = self.of_scalar(he.one)
+        levels = [a]
+        cur = a
+        while cur.shape[0] > 1:  # reduce up: pairwise products
+            if cur.shape[0] & 1:
+                cur = np.concatenate([cur, one[None]])
+            cur = self.mul(cur[0::2], cur[1::2])
+            levels.append(cur)
+        inv = self.of_scalar(he.inv(tuple(int(c) for c in levels[-1][0])))[None]
+        for lvl in levels[-2::-1]:  # walk down: split each inverse
+            n = lvl.shape[0]
+            even = lvl[0::2]
+            odd = lvl[1::2] if n % 2 == 0 else np.concatenate([lvl[1::2], one[None]])
+            down = np.empty((even.shape[0] * 2, self.D), np.uint64)
+            down[0::2] = self.mul(odd, inv)
+            down[1::2] = self.mul(even, inv)
+            inv = down[:n]
+        return inv

@@ -53,10 +53,15 @@ def _native_lib():
         ]
         lib.msb3_grind.restype = ctypes.c_uint64
         u32p = ctypes.POINTER(ctypes.c_uint32)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
         lib.msb3_compress_pairs.argtypes = [u32p, u32p, ctypes.c_uint64, u32p]
         lib.msb3_hash_batch.argtypes = [
             ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, u32p,
         ]
+        lib.msgl_claims_acc2.argtypes = [
+            u64p, ctypes.c_uint64, ctypes.c_uint64, u64p, u64p, u64p, u64p,
+        ]
+        lib.msgl_claims_acc2.restype = ctypes.c_int
         _NATIVE = lib
     except Exception:
         _NATIVE = None

@@ -83,11 +83,74 @@ def claims_accumulator(
     he: HostExtField, beta: ExtVal, gamma: ExtVal, claims: Sequence[Sequence[int]]
 ) -> ExtVal:
     """acc_0 = Σ_claims (β + fingerprint(γ, claim))^-1
-    (reference src/prover.rs:381-387)."""
+    (reference src/prover.rs:381-387).
+
+    Large homogeneous claim lists (the bench proves one claim per row) take
+    the vectorized NumPy path: Horner fingerprints over (n, L) arrays and a
+    Montgomery-trick batch inverse — no per-claim Fermat exponentiation.
+    The scalar loop stays as the reference (pinned in tests/test_lookup.py)."""
+    if he.base.name in ("Goldilocks", "BabyBear"):
+        from .challenger import _canonical_claims_array
+
+        vals = _canonical_claims_array(claims, he.base.p)
+        if vals is not None:
+            return _claims_accumulator_np(he, beta, gamma, vals)
     acc = he.zero
     for claim in claims:
-        acc = he.add(acc, he.inv(he.add(beta, fingerprint(he, gamma, claim))))
+        fp = fingerprint(he, gamma, [int(v) for v in claim])
+        acc = he.add(acc, he.inv(he.add(beta, fp)))
     return acc
+
+
+def _claims_accumulator_np(he, beta, gamma, vals: np.ndarray) -> ExtVal:
+    """vals: (n, L) canonical uint64 claims."""
+    from .fields.npref import NpExt, NpField
+
+    nf = NpField(he.base)
+    ne = NpExt(nf, he)
+    n = vals.shape[0]
+    if he.name == "Goldilocks^2":
+        fast = _claims_accumulator_native(he, beta, gamma, vals)
+        if fast is not None:
+            return fast
+    g = ne.of_scalar(gamma)
+    acc = np.zeros((n, he.D), np.uint64)
+    for j in range(vals.shape[1] - 1, -1, -1):  # Horner over claim positions
+        acc = ne.mul(acc, g)
+        acc[..., 0] = nf.add(acc[..., 0], vals[:, j])
+    acc = ne.add(acc, ne.of_scalar(beta, (n,)))
+    inv = ne.batch_inv(acc)
+    total = nf.sum_axis(inv, 0)  # (D,)
+    return tuple(int(c) for c in total)
+
+
+def _claims_accumulator_native(he, beta, gamma, vals: np.ndarray):
+    """C-accelerated Goldilocks^2 path (csrc/b3.c msgl_claims_acc2):
+    fingerprint + Montgomery batch inverse in one native pass.  Returns
+    None if the native lib is absent; raises ZeroDivisionError on a zero
+    denominator like the scalar path."""
+    import ctypes
+
+    from .hash.blake3 import _native_lib
+
+    lib = _native_lib()
+    if lib is None or not hasattr(lib, "msgl_claims_acc2"):
+        return None
+    n, L = vals.shape
+    vals = np.ascontiguousarray(vals, np.uint64)
+    g = np.asarray([c % he.base.p for c in gamma], np.uint64)
+    b = np.asarray([c % he.base.p for c in beta], np.uint64)
+    scratch = np.empty(2 * n, np.uint64)
+    out = np.empty(2, np.uint64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    rc = lib.msgl_claims_acc2(
+        vals.ctypes.data_as(u64p), n, L, g.ctypes.data_as(u64p),
+        b.ctypes.data_as(u64p), scratch.ctypes.data_as(u64p),
+        out.ctypes.data_as(u64p),
+    )
+    if rc != 0:
+        raise ZeroDivisionError("zero denominator in claims accumulator")
+    return (int(out[0]), int(out[1]))
 
 
 # --- generic ext-coordinate arithmetic over a working algebra ----------------

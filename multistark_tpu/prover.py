@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import lookup as lk
+from .challenger import observe_claims as _observe_claims
 from .domains import TwoAdicCoset
 from .evaluator import DeviceAlgebra, constraint_values, lookup_values as graph_lookup_values, sweep
 from .expr import Source
@@ -122,11 +123,7 @@ def prove_multiple_claims(
         for ld in log_degrees:
             ch.observe_bytes(bytes([ld]))
         # length-prefixed claims (prover.rs:353-373)
-        ch.observe_u64(len(claims))
-        for claim in claims:
-            ch.observe_u64(len(claim))
-            for v in claim:
-                ch.observe_field(int(v))
+        _observe_claims(ch, claims)
 
         beta = ch.sample_ext()
         gamma = ch.sample_ext()

@@ -107,7 +107,11 @@ def u32_add_witness(pairs: Sequence[Tuple[int, int]], height: int):
             rows[:k, 8 + i] = (zs >> sh) & np.uint64(0xFF)
         rows[:k, 12] = s >> np.uint64(32)
         rows[:k, 13] = 1
-        claims = [[U32_CHAN, int(x), int(y), int(z)] for x, y, z in zip(xs, ys, zs)]
+        # (k, 4) ndarray claims: the vectorized transcript/accumulator paths
+        # consume these without any per-claim Python conversion
+        claims = np.stack(
+            [np.full(k, U32_CHAN, np.uint64), xs, ys, zs], axis=1
+        )
     else:
         claims = []
     byte_mult = np.zeros(256, np.uint64)

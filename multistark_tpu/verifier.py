@@ -29,6 +29,7 @@ from __future__ import annotations
 from typing import List, Sequence, Tuple
 
 from . import lookup as lk
+from .challenger import observe_claims as _observe_claims
 from .domains import TwoAdicCoset
 from .errors import VerificationError, ensure
 from .evaluator import HostExtAlgebra, constraint_values, lookup_values as graph_lookup_values, sweep
@@ -69,11 +70,7 @@ def verify_multiple_claims(system: System, claims: Sequence[Sequence[int]], proo
     ch.observe_commitment(proof.commitments.stage_1_trace)
     for ld in proof.log_degrees:
         ch.observe_bytes(bytes([ld]))
-    ch.observe_u64(len(claims))
-    for claim in claims:
-        ch.observe_u64(len(claim))
-        for v in claim:
-            ch.observe_field(int(v))
+    _observe_claims(ch, claims)
     beta = ch.sample_ext()
     gamma = ch.sample_ext()
     acc0 = lk.claims_accumulator(he, beta, gamma, claims)
