@@ -73,6 +73,42 @@ def use_mesh(mesh: Mesh, axis: str = "rows"):
         _CURRENT = prev
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> ProverMesh:
+    """Multi-HOST entry point (BASELINE.md scale-out target): initialize the
+    jax distributed runtime so every host's local TPU chips join one global
+    device set, then build the row mesh over ALL devices.  Collectives in
+    the sharded prove (the four-step all-to-all, subtree-root gathers) ride
+    ICI within a host and DCN across hosts — no NCCL/MPI analogue needed;
+    XLA lowers them from the same shard_map bodies used single-host.
+
+    On TPU pods the three arguments are inferred from the environment
+    (``jax.distributed.initialize()`` with no args); pass them explicitly
+    for CPU/GPU clusters.  Single-process callers may skip this entirely
+    and use :func:`use_mesh` / :func:`global_mesh` directly."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return global_mesh()
+
+
+def global_mesh(axis: str = "rows") -> ProverMesh:
+    """Row mesh over every addressable device (all hosts after
+    :func:`init_distributed`; local devices otherwise), truncated to the
+    largest power of two."""
+    devs = jax.devices()
+    n = 1 << (len(devs).bit_length() - 1)
+    return ProverMesh(Mesh(np.array(devs[:n]), (axis,)), axis)
+
+
 # -- sharded DIF ----------------------------------------------------------
 
 # shard_map traces + compiles its whole body even outside jit, so the body
