@@ -195,6 +195,28 @@ def reverse_bits_vec(x: np.ndarray, bits: int) -> np.ndarray:
     return r
 
 
+def np_batch_inv_base(nf: "NpField", host, a: np.ndarray) -> np.ndarray:
+    """(Q,) nonzero base elements -> elementwise inverses via a pairwise
+    product tree + ONE host inversion at the root."""
+    levels = [a]
+    cur = a
+    while cur.shape[0] > 1:
+        if cur.shape[0] & 1:
+            cur = np.concatenate([cur, np.ones(1, np.uint64)])
+        cur = nf.mul(cur[0::2], cur[1::2])
+        levels.append(cur)
+    inv = np.asarray([host.inv(int(levels[-1][0]))], np.uint64)
+    for lvl in levels[-2::-1]:
+        n = lvl.shape[0]
+        even = lvl[0::2]
+        odd = lvl[1::2] if n % 2 == 0 else np.concatenate([lvl[1::2], np.ones(1, np.uint64)])
+        down = np.empty(even.shape[0] * 2, np.uint64)
+        down[0::2] = nf.mul(odd, inv)
+        down[1::2] = nf.mul(even, inv)
+        inv = down[:n]
+    return inv
+
+
 class NpExt:
     """Vectorized binomial extension F_p[X]/(X^D - W): elements are
     (..., D) uint64 arrays (coordinate i = coefficient of X^i, matching

@@ -35,6 +35,10 @@ from ..fields.host import HostField
 from ..utils import bit_reverse_indices
 
 
+def _has_tracer(v) -> bool:
+    return any(isinstance(l, jax.core.Tracer) for l in jax.tree.leaves(v))
+
+
 def _np_field_fns(host: HostField):
     if host.name == "Goldilocks":
         return npref.gl_mul, npref.gl_pow
@@ -62,7 +66,7 @@ class NttEngine:
         self.F = F
         self.host: HostField = F.host
         self._tw: Dict[Tuple[int, bool], list] = {}
-        self._brev: Dict[int, jnp.ndarray] = {}
+        self._brev: Dict[int, np.ndarray] = {}
         self._powcache: Dict[Tuple[int, int], object] = {}
         # jitted butterfly passes: twiddles are ARGUMENTS, so one compiled
         # program per (shape, log_n) serves forward/inverse and every proof
@@ -86,20 +90,29 @@ class NttEngine:
                     half = 1 << (s - 1)
                     w_m = self.host.pow(g, 1 << (log_n - s))
                     stages.append(self.F.from_np(np_powers(self.host, w_m, half)))
-                self._tw[key] = stages
+            if _has_tracer(stages):
+                # ensure_compile_time_eval does NOT escape a shard_map trace
+                # (observed: ShardMapTracer leaks); serve the traced value
+                # but never cache it
+                return stages
+            self._tw[key] = stages
         return self._tw[key]
 
-    def brev(self, log_n: int) -> jnp.ndarray:
+    def brev(self, log_n: int) -> np.ndarray:
+        # cached as a NumPy array: always concrete, valid as a gather index
+        # inside any trace (jit, shard_map), so it can never leak a tracer
         if log_n not in self._brev:
-            with jax.ensure_compile_time_eval():
-                self._brev[log_n] = jnp.asarray(bit_reverse_indices(log_n))
+            self._brev[log_n] = bit_reverse_indices(log_n)
         return self._brev[log_n]
 
     def pow_table(self, base: int, n: int):
         key = (base % self.host.p, n)
         if key not in self._powcache:
             with jax.ensure_compile_time_eval():
-                self._powcache[key] = self.F.from_np(np_powers(self.host, base, n))
+                val = self.F.from_np(np_powers(self.host, base, n))
+            if _has_tracer(val):
+                return val  # inside a shard_map trace: don't cache
+            self._powcache[key] = val
         return self._powcache[key]
 
     # -- core butterfly passes -------------------------------------------

@@ -41,7 +41,7 @@ from .fields import npref
 from .fields.host import HostExtField, HostField
 from .merkle import BatchOpening, MerkleMmcs, MerkleProverData
 from .ntt import get_engine
-from .ntt.ntt import np_powers
+from .ntt.ntt import _has_tracer, np_powers
 from .utils import batch_inv, bit_reverse_indices, cached_jit, ext_scalar, field_sum, reverse_bits
 
 ExtVal = Tuple[int, ...]  # host extension element
@@ -125,7 +125,10 @@ class TwoAdicFriPcs:
             tab = mul(np_powers(self.hf, g, 1 << log_n), np.uint64(s))
             tab = tab[bit_reverse_indices(log_n)]
             with jax.ensure_compile_time_eval():
-                self._x_storage[key] = self.F.from_np(tab)
+                val = self.F.from_np(tab)
+            if _has_tracer(val):
+                return val  # inside a shard_map trace: never cache a tracer
+            self._x_storage[key] = val
         return self._x_storage[key]
 
     def x_table_natural(self, log_n: int, shift: int):
@@ -136,7 +139,10 @@ class TwoAdicFriPcs:
             g = self.hf.two_adic_generator(log_n)
             tab = mul(np_powers(self.hf, g, 1 << log_n), np.uint64(shift))
             with jax.ensure_compile_time_eval():
-                self._x_storage[key] = self.F.from_np(tab)
+                val = self.F.from_np(tab)
+            if _has_tracer(val):
+                return val  # inside a shard_map trace: never cache a tracer
+            self._x_storage[key] = val
         return self._x_storage[key]
 
     def host_x_at(self, log_n: int, shift: int, storage_index: int) -> int:

@@ -63,8 +63,48 @@ def cached_jit(key, make_fn):
 def batch_inv(ops, x, axis: int = -1):
     # ops.name is required: an id()-keyed fallback would alias recycled ids
     # (CLAUDE.md cache rule) and return a kernel bound to a different ops
+    if not jit_enabled() and not any(
+        isinstance(l, jax.core.Tracer) for l in jax.tree.leaves(x)
+    ):  # never under an explicitly-jitted body (e.g. shard_map kernels)
+        out = _np_batch_inv(ops, x)
+        if out is not None:
+            return out
     key = (ops.name, "batch_inv", axis)
     return cached_jit(key, lambda: lambda y: _batch_inv_impl(ops, y, axis))(x)
+
+
+def _np_batch_inv(ops, x):
+    """Eager (CPU test) batch inverse: one NumPy product tree over ALL
+    elements + a single host inversion.  Elementwise inversion is
+    order-independent, so the axis is irrelevant — everything flattens into
+    one chain.  Zero entries map to zero (p3 batch-inverse semantics).
+    Returns None for ops without a NumPy mirror."""
+    from .fields import npref
+
+    base = getattr(ops, "base", ops)
+    host = base.host
+    if host.name not in ("Goldilocks", "BabyBear"):
+        return None
+    nf = npref.NpField(host)
+    a = ops.to_np(x)
+    D = getattr(ops, "D", 1)
+    shape = a.shape
+    rows = a.reshape(-1, D) if D > 1 else a.reshape(-1, 1)
+    zero = ~rows.any(axis=1)
+    safe = rows.copy()
+    safe[zero, 0] = 1
+    if D > 1:
+        he = _HOST_EXT_CACHE.get(ops.name)
+        if he is None:
+            from .fields.host import HostExtField
+
+            he = HostExtField(base.host, ops.D, ops.w, ops.name)
+            _HOST_EXT_CACHE[ops.name] = he
+        inv = npref.NpExt(nf, he).batch_inv(safe)
+    else:
+        inv = npref.np_batch_inv_base(nf, host, safe[:, 0])[:, None]
+    inv[zero] = 0
+    return ops.from_np(inv.reshape(shape) if D > 1 else inv.reshape(shape))
 
 
 def _batch_inv_impl(ops, x, axis: int = -1):
@@ -77,10 +117,23 @@ def _batch_inv_impl(ops, x, axis: int = -1):
     safe = ops.select(is_zero, one, x)
 
     moved = jax.tree.map(lambda a: jnp.moveaxis(a, axis, 0), safe)
-    prefix = jax.lax.associative_scan(ops.mul, moved, axis=0)          # P_i = x0..xi
-    suffix = jax.lax.associative_scan(ops.mul, moved, axis=0, reverse=True)  # S_i = xi..x_{n-1}
+    if jit_enabled():
+        prefix = jax.lax.associative_scan(ops.mul, moved, axis=0)          # P_i = x0..xi
+        suffix = jax.lax.associative_scan(ops.mul, moved, axis=0, reverse=True)  # S_i = xi..x_{n-1}
+    else:
+        # eager (CPU test) path: lax.associative_scan rebuilds its whole
+        # combine network per call with enormous per-op dispatch overhead
+        # (~3.5 s/call at 2^12); a hand-rolled Hillis-Steele is the same
+        # log-depth math in ~log2(n) eager ops.
+        prefix = _eager_scan_mul(ops, moved, reverse=False)
+        suffix = _eager_scan_mul(ops, moved, reverse=True)
     total = jax.tree.map(lambda a: a[-1:], prefix)
-    total_inv = ops.inv(total)
+    if jit_enabled():
+        total_inv = ops.inv(total)
+    else:
+        # eager: ops.inv is a Fermat ladder (~64 sequential eager muls on a
+        # 1-element array); one host inversion is exact and instant
+        total_inv = _host_inv_scalar(ops, total)
 
     # out_i = P_{i-1} * S_{i+1} * total_inv
     def shift_down(a):  # P_{i-1}: drop last, prepend identity
@@ -106,6 +159,50 @@ def _ones_like(ops, x):
 def _zeros_like(ops, x):
     shape = jax.tree.leaves(x)[0].shape
     return ops.zeros(shape)
+
+
+_HOST_EXT_CACHE: dict = {}
+
+
+def _host_inv_scalar(ops, total):
+    """Invert the single-element `total` on host (eager path only; `total`
+    is guaranteed nonzero by the zero-masking above)."""
+    t = ops.to_np(total)
+    if hasattr(ops, "D"):
+        he = _HOST_EXT_CACHE.get(ops.name)
+        if he is None:
+            from .fields.host import HostExtField
+
+            he = HostExtField(ops.base.host, ops.D, ops.w, ops.name)
+            _HOST_EXT_CACHE[ops.name] = he
+        inv = he.inv(tuple(int(c) for c in t[0]))
+        return ops.const(inv, (1,))
+    return ops.const(ops.host.inv(int(t[0])), (1,))
+
+
+def _eager_scan_mul(ops, a, reverse: bool):
+    """Inclusive product scan along axis 0 (Hillis-Steele): prefix when
+    ``reverse`` is False, suffix when True.  Semantics identical to
+    jax.lax.associative_scan(ops.mul, a, axis=0[, reverse=True])."""
+    n = jax.tree.leaves(a)[0].shape[0]
+    s = 1
+    while s < n:
+        if reverse:
+            keep = jax.tree.map(lambda t, _s=s: t[-_s:], a)
+            prod = ops.mul(
+                jax.tree.map(lambda t, _s=s: t[:-_s], a),
+                jax.tree.map(lambda t, _s=s: t[_s:], a),
+            )
+            a = _concat(ops, prod, keep)
+        else:
+            keep = jax.tree.map(lambda t, _s=s: t[:_s], a)
+            prod = ops.mul(
+                jax.tree.map(lambda t, _s=s: t[_s:], a),
+                jax.tree.map(lambda t, _s=s: t[:-_s], a),
+            )
+            a = _concat(ops, keep, prod)
+        s <<= 1
+    return a
 
 
 def _ones_like_slice(ops, moved):
