@@ -101,16 +101,21 @@ class TestHasherDriven:
     reason="full 10-circuit prove is slow on CPU; set MULTISTARK_SLOW=1",
 )
 class TestBlake3E2E:
-    def test_prove_verify(self):
+    def test_prove_verify_hasher_driven(self):
+        """Hasher-driven multi-compression prove (reference
+        blake3.rs:2216-2340): a 2-block message's chained compressions are
+        proven by the full 10-circuit system and the digest-carrying claims
+        verify; tampering any claim's output word is rejected."""
         config = make_config()
         system, key = System.new(config, blake3_system_inputs(limb_bits=4))
-        comp = one_block_compression(b"flagship workload")
-        traces, claims = blake3_witness([comp], limb_bits=4)
+        data = b"multi-compression flagship workload: two blocks of input!" * 2
+        digest, traces, claims = blake3_hasher_witness(data, limb_bits=4)
+        assert digest == blake3_hash(data) and len(claims) >= 2
         witness = SystemWitness.from_stage_1(traces, system, key)
         proof = prove_multiple_claims(system, key, witness, claims)
         verify_multiple_claims(system, claims, proof)
 
-        bad = [list(claims[0])]
-        bad[0][-1] ^= 1  # tamper one output word
+        bad = [list(c) for c in claims]
+        bad[-1][-1] ^= 1  # tamper the root compression's output
         with pytest.raises(VerificationError):
             verify_multiple_claims(system, bad, proof)
