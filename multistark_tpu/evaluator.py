@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
+import numpy as np
+
 from .expr import (
     Add,
     Const,
@@ -157,6 +159,50 @@ class DeviceAlgebra(Algebra):
 
     def neg(self, a):
         return self.F.neg(a)
+
+
+class NpBaseAlgebra(Algebra):
+    """Whole-array evaluation over the base field in NumPy (the eager CPU
+    mirror of DeviceAlgebra — same values, ~100x less per-op dispatch).
+    Values are uint64 ndarrays (or uint64 scalars, broadcasting freely)."""
+
+    def __init__(self, hf, var_provider, publics, selectors):
+        from .fields import npref
+
+        self.nf = npref.NpField(hf)
+        self._var = var_provider
+        self._publics = publics
+        self._sel = selectors
+
+    def const(self, v: int):
+        return np.uint64(int(v) % int(self.nf.p))
+
+    def var(self, source, column, offset):
+        return self._var(source, column, offset)
+
+    def public(self, index):
+        return self._publics(index)
+
+    def first(self):
+        return self._sel["first"]
+
+    def last(self):
+        return self._sel["last"]
+
+    def transition(self):
+        return self._sel["transition"]
+
+    def add(self, a, b):
+        return self.nf.add(a, b)
+
+    def sub(self, a, b):
+        return self.nf.sub(a, b)
+
+    def mul(self, a, b):
+        return self.nf.mul(a, b)
+
+    def neg(self, a):
+        return self.nf.neg(a)
 
 
 class HostExtAlgebra(Algebra):

@@ -336,6 +336,14 @@ def stage_2_traces(
             mats.append(planes)
             accs.append(acc)
             continue
+        from .utils import jit_enabled
+
+        if not jit_enabled() and hf.name in ("Goldilocks", "BabyBear"):
+            planes, total_host = _stage2_np(F, E, hf, he, lv, beta, gamma, acc)
+            acc = he.add(acc, total_host)
+            mats.append(planes)
+            accs.append(acc)
+            continue
         kern = cached_jit(
             (E.name, "s2_kernel", L, tuple(len(a) for a in lv.args), n),
             lambda: lambda mults, args, b, g, a0: _stage2_kernel(F, E, mults, args, b, g, a0),
@@ -348,6 +356,47 @@ def stage_2_traces(
         mats.append(planes)
         accs.append(acc)
     return mats, accs
+
+
+def _stage2_np(F, E, hf, he, lv, beta, gamma, acc):
+    """Eager (CPU) NumPy mirror of _stage2_kernel: same slot-minor chain
+    order, same values — returns (device planes, host total) so the caller
+    and every downstream commit are unchanged."""
+    from .fields.npref import NpExt, NpField
+
+    nf = NpField(hf)
+    ne = NpExt(nf, he)
+    D = E.D
+    n, L = lv.height, len(lv.mults)
+    g = ne.of_scalar(gamma)
+    b = ne.of_scalar(beta)
+    msgs = np.empty((n, L, D), np.uint64)
+    mults = np.empty((n, L), np.uint64)
+    for j in range(L):
+        m = np.zeros((n, D), np.uint64)
+        for a in reversed(lv.args[j]):
+            m = ne.mul(m, g)
+            a_np = np.broadcast_to(np.asarray(F.to_np(a), np.uint64), (n,))
+            m[:, 0] = nf.add(m[:, 0], a_np)
+        msgs[:, j] = ne.add(m, b[None, :])
+        mults[:, j] = np.broadcast_to(np.asarray(F.to_np(lv.mults[j]), np.uint64), (n,))
+    flat = msgs.reshape(n * L, D)  # row-major, slot-minor (the chain order)
+    inv = ne.batch_inv(flat)
+    terms = ne.scale(inv, mults.reshape(-1))
+    # inclusive prefix sum mod p (Hillis-Steele over (n·L, D))
+    incl = terms.copy()
+    s = 1
+    while s < incl.shape[0]:
+        incl[s:] = nf.add(incl[s:], incl[:-s])
+        s <<= 1
+    total_host = tuple(int(c) for c in incl[-1])
+    excl = np.roll(incl, 1, axis=0)
+    excl[0] = 0
+    acc_flat = ne.add(excl, ne.of_scalar(acc, (n * L,)))
+    rows = acc_flat.reshape(n, L, D)
+    # stage-2 matrix layout: row (j·D + d) = coordinate d of slot j
+    mat = rows.transpose(1, 2, 0).reshape(L * D, n)
+    return E.base.from_np(mat), total_host
 
 
 def _stage2_kernel(F, E, mults_list, args_list, beta_d, gamma_d, acc_d):

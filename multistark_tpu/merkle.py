@@ -19,7 +19,7 @@ serves Blake3/Goldilocks and Poseidon2/BabyBear configs.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -134,17 +134,63 @@ class MerkleMmcs:
             "sub-cap matrices are not bound by the commitment"
         )
 
-        key = (
-            "mmcs_commit",
-            type(self.hasher).__name__,
-            getattr(self.hasher, "F", None).__class__.__name__,
-            tuple(dims),
-            self.cap_height,
-        )
-        kern = cached_jit(key, lambda: lambda ms: self._commit_impl(ms, dims))
-        layers = kern(mats)
+        from .utils import jit_enabled
+
+        def _plain(l):
+            if isinstance(l, jax.core.Tracer):
+                return False
+            sh = getattr(l, "sharding", None)
+            return sh is None or len(sh.device_set) <= 1
+
+        if (
+            not jit_enabled()
+            and hasattr(self.hasher, "np_hash_rows_batch")
+            and all(_plain(l) for l in jax.tree.leaves(mats))
+        ):
+            # eager (CPU test) path: native/NumPy batch hashing instead of
+            # thousands of eager jnp round ops; bit-identical (the hasher's
+            # np mirrors are pinned against the device kernels)
+            layers = self._commit_np(mats, dims)
+        else:
+            key = (
+                "mmcs_commit",
+                type(self.hasher).__name__,
+                getattr(self.hasher, "F", None).__class__.__name__,
+                tuple(dims),
+                self.cap_height,
+            )
+            kern = cached_jit(key, lambda: lambda ms: self._commit_impl(ms, dims))
+            layers = kern(mats)
         cap = np.asarray(jax.device_get(layers[-1]))
         return cap, MerkleProverData(mats=list(mats), dims=dims, layers=layers, log_max=log_max)
+
+    def _commit_np(self, mats, dims) -> List[np.ndarray]:
+        """NumPy mirror of _commit_impl (same layer layout/values)."""
+        F = self.hasher.F
+        heights = sorted({h for _, h in dims}, reverse=True)
+        max_h = heights[0]
+        u64s = [
+            _host_planes_to_u64(F, jax.device_get(m)) for m in mats
+        ]  # (w, n) each
+        by_height: Dict[int, List[np.ndarray]] = {}
+        for u, (w, mh) in zip(u64s, dims):
+            by_height.setdefault(mh, []).append(u)
+
+        def rows_at(h):
+            return np.concatenate([u.T for u in by_height[h]], axis=1)
+
+        layer = self.hasher.np_hash_rows_batch(rows_at(max_h))
+        layers = [layer]
+        size = max_h
+        while size > (1 << self.cap_height):
+            size >>= 1
+            layer = self.hasher.np_compress_batch(layer[0::2], layer[1::2])
+            if size in by_height:
+                layer = self.hasher.np_compress_batch(
+                    layer, self.hasher.np_hash_rows_batch(rows_at(size))
+                )
+            layers.append(layer)
+        return layers
 
     def _commit_impl(self, mats, dims) -> List[jnp.ndarray]:
         heights = sorted({h for _, h in dims}, reverse=True)

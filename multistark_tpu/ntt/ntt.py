@@ -66,6 +66,7 @@ class NttEngine:
         self.F = F
         self.host: HostField = F.host
         self._tw: Dict[Tuple[int, bool], list] = {}
+        self._np_tw: Dict[Tuple[int, bool], list] = {}
         self._brev: Dict[int, np.ndarray] = {}
         self._powcache: Dict[Tuple[int, int], object] = {}
         # jitted butterfly passes: twiddles are ARGUMENTS, so one compiled
@@ -115,16 +116,80 @@ class NttEngine:
             self._powcache[key] = val
         return self._powcache[key]
 
+    def _np_twiddles(self, log_n: int, inverse: bool) -> list:
+        """Host uint64 twiddle stages (the pre-from_np values of _twiddles)."""
+        key = (log_n, inverse)
+        if key not in self._np_tw:
+            g = self.host.two_adic_generator(log_n)
+            if inverse:
+                g = self.host.inv(g)
+            self._np_tw[key] = [
+                np_powers(self.host, self.host.pow(g, 1 << (log_n - s)), 1 << (s - 1))
+                for s in range(1, log_n + 1)
+            ]
+        return self._np_tw[key]
+
+    def _np_eager_ok(self, x) -> bool:
+        from ..utils import jit_enabled
+
+        if jit_enabled() or self.host.name not in ("Goldilocks", "BabyBear"):
+            return False
+        for l in jax.tree.leaves(x):
+            if isinstance(l, jax.core.Tracer):
+                return False
+            sh = getattr(l, "sharding", None)
+            if sh is not None and len(sh.device_set) > 1:
+                return False  # keep sharded transforms on the mesh
+        return True
+
+    def _dit_np(self, x: np.ndarray, log_n: int, inverse: bool) -> np.ndarray:
+        """NumPy mirror of _dit_impl over uint64 (…, n) arrays."""
+        mul, _ = _np_field_fns(self.host)
+        add, sub = (npref.gl_add, npref.gl_sub) if self.host.name == "Goldilocks" else (
+            npref.bb_add, npref.bb_sub)
+        tw = self._np_twiddles(log_n, inverse)
+        lead = x.shape[:-1]
+        n = 1 << log_n
+        for s in range(1, log_n + 1):
+            half = 1 << (s - 1)
+            k = x.size // (2 * half)
+            xr = x.reshape(k, 2, half)
+            a, b = xr[:, 0, :], xr[:, 1, :]
+            t = mul(b, tw[s - 1][None, :])
+            x = np.stack([add(a, t), sub(a, t)], axis=1).reshape(lead + (n,))
+        return x
+
+    def _dif_np(self, x: np.ndarray, log_n: int, inverse: bool) -> np.ndarray:
+        """NumPy mirror of _dif_impl over uint64 (…, n) arrays."""
+        mul, _ = _np_field_fns(self.host)
+        add, sub = (npref.gl_add, npref.gl_sub) if self.host.name == "Goldilocks" else (
+            npref.bb_add, npref.bb_sub)
+        lead = x.shape[:-1]
+        n = 1 << log_n
+        for t in reversed(self._np_twiddles(log_n, inverse)):
+            half = t.shape[-1]
+            k = x.size // (2 * half)
+            xr = x.reshape(k, 2, half)
+            a, b = xr[:, 0, :], xr[:, 1, :]
+            lo = add(a, b)
+            hi = mul(sub(a, b), t[None, :])
+            x = np.stack([lo, hi], axis=1).reshape(lead + (n,))
+        return x
+
     # -- core butterfly passes -------------------------------------------
     def _dit(self, x, log_n: int, inverse: bool):
         from ..utils import jit_enabled
 
+        if self._np_eager_ok(x):
+            return self.F.from_np(self._dit_np(self.F.to_np(x), log_n, inverse))
         fn = self._dit_j if jit_enabled() else self._dit_impl
         return fn(x, tuple(self._twiddles(log_n, inverse)))
 
     def _dif(self, x, log_n: int, inverse: bool):
         from ..utils import jit_enabled
 
+        if self._np_eager_ok(x):
+            return self.F.from_np(self._dif_np(self.F.to_np(x), log_n, inverse))
         fn = self._dif_j if jit_enabled() else self._dif_impl
         return fn(x, tuple(self._twiddles(log_n, inverse)))
 

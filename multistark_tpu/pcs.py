@@ -267,11 +267,111 @@ class TwoAdicFriPcs:
         )
         return opened, proof
 
+    # -- eager (CPU) NumPy mirrors of the open-path kernels -----------------
+    # Same math, same values (exact mod-p arithmetic), ~100x less per-op
+    # dispatch than eager jnp; the jitted kernels remain the TPU path and
+    # the Fiat-Shamir e2e tests pin both to identical proof bytes.
+    def _np_field_pair(self):
+        nf = npref.NpField(self.hf)
+        return nf, npref.NpExt(nf, self.he)
+
+    def _np_eager(self) -> bool:
+        from .utils import jit_enabled
+
+        return not jit_enabled() and self.hf.name in ("Goldilocks", "BabyBear")
+
+    def _claimed_evaluations_np(self, rounds, dev_vals):
+        """NumPy mirror of _eval_kernel over every (matrix, point):
+        p(z) = (z^n - s^n)/(n·s^n) · Σ_i e_i·x_i/(z - x_i) on the stored
+        same-shift sub-coset prefix.  Fills dev_vals with (w, D) uint64
+        value arrays (consumed by _reduced_openings_np)."""
+        hf, he = self.hf, self.he
+        nf, ne = self._np_field_pair()
+        mulfn = npref.gl_mul if hf.name == "Goldilocks" else npref.bb_mul
+        opened: List[List[List[List[ExtVal]]]] = []
+        for data, points_list in rounds:
+            round_dev: List[object] = []
+            round_vals: List[List[List[ExtVal]]] = []
+            for m_idx, points in enumerate(points_list):
+                if not points:
+                    round_dev.append(None)
+                    round_vals.append([])
+                    continue
+                log_n = data.log_trace_heights[m_idx]
+                n = 1 << log_n
+                m_np = self.F.to_np(data.mmcs_data.mats[m_idx])  # (w, N) bitrev LDE
+                small = m_np[:, :n][:, bit_reverse_indices(log_n)]  # natural, GEN·H_n
+                s = hf.generator
+                g = hf.two_adic_generator(log_n)
+                x = mulfn(np_powers(hf, g, n), np.uint64(s))  # (n,)
+                s_n = hf.pow(s, n)
+                inv_ns = hf.inv(hf.mul(n % hf.p, s_n))
+                mat_dev, mat_vals = [], []
+                for z in points:
+                    diff = ne.sub(ne.of_scalar(z, (n,)), ne.from_base_vec(x))
+                    w_i = ne.scale(ne.batch_inv(diff), x)  # x_i/(z - x_i), (n, D)
+                    zn = z
+                    for _ in range(log_n):
+                        zn = he.mul(zn, zn)
+                    c = he.mul(he.sub(zn, he.from_base(s_n)), he.from_base(inv_ns))
+                    acc = nf.sum_axis(nf.mul(small[:, :, None], w_i[None, :, :]), 1)
+                    vals = ne.mul(acc, ne.of_scalar(c))  # (w, D)
+                    mat_dev.append(vals)
+                    mat_vals.append([tuple(int(c_) for c_ in row) for row in vals])
+                round_dev.append(mat_dev)
+                round_vals.append(mat_vals)
+            dev_vals.append(round_dev)
+            opened.append(round_vals)
+        return opened
+
+    def _reduced_openings_np(self, rounds, dev_vals, alpha):
+        """NumPy mirror of _ro_kernel: per-height accumulation of
+        Σ_p (-α^{off_p})·(u - S_p)/(z_p - x) over the stored LDEs; converts
+        each height's total to the device ext rep at the end (the commit
+        phase consumes device values)."""
+        hf, he, E = self.hf, self.he, self.E
+        nf, ne = self._np_field_pair()
+        mulfn = npref.gl_mul if hf.name == "Goldilocks" else npref.bb_mul
+        ro_np: Dict[int, np.ndarray] = {}
+        offsets: Dict[int, int] = {}
+        for r_idx, (data, points_list) in enumerate(rounds):
+            for m_idx, points in enumerate(points_list):
+                if not points:
+                    continue
+                w = data.mmcs_data.dims[m_idx][0]
+                log_lde = data.log_trace_heights[m_idx] + self.log_blowup
+                N = 1 << log_lde
+                m_np = self.F.to_np(data.mmcs_data.mats[m_idx])  # (w, N)
+                ap = np.asarray(
+                    [list(a) for a in self._host_ext_powers(alpha, w)], np.uint64
+                )  # (w, D)
+                u = nf.sum_axis(nf.mul(m_np[:, :, None], ap[:, None, :]), 0)  # (N, D)
+                g = hf.two_adic_generator(log_lde)
+                x_full = mulfn(np_powers(hf, g, N), np.uint64(hf.generator))[
+                    bit_reverse_indices(log_lde)
+                ]
+                off = offsets.get(log_lde, 0)
+                for p_idx, z in enumerate(points):
+                    s_p = nf.sum_axis(ne.mul(ap, dev_vals[r_idx][m_idx][p_idx]), 0)
+                    diff = ne.sub(ne.of_scalar(z, (N,)), ne.from_base_vec(x_full))
+                    inv_diff = ne.batch_inv(diff)
+                    aoff = he.neg(self._ext_pow(alpha, off + p_idx * w))
+                    num = ne.sub(u, s_p[None, :])
+                    contrib = ne.mul(ne.mul(num, inv_diff), ne.of_scalar(aoff))
+                    ro_np[log_lde] = (
+                        contrib if log_lde not in ro_np else ne.add(ro_np[log_lde], contrib)
+                    )
+                off += w * len(points)
+                offsets[log_lde] = off
+        return {k: E.from_np(v) for k, v in ro_np.items()}
+
     def _claimed_evaluations(self, rounds, dev_vals):
         """Step A: claimed evaluations via small-domain barycentric.  One
         jitted kernel per (matrix shape, #points); z enters as a device
         scalar.  Fills `dev_vals` (device arrays, reused by the ro step) and
         returns the host-side opened values."""
+        if self._np_eager():
+            return self._claimed_evaluations_np(rounds, dev_vals)
         E = self.E
         for data, points_list in rounds:
             round_dev: List[object] = []
@@ -314,6 +414,8 @@ class TwoAdicFriPcs:
     def _reduced_openings(self, rounds, dev_vals, alpha):
         """Step C: reduced openings per LDE height (device, bitrev order).
         One jitted kernel per matrix: ro contribution for all its points."""
+        if self._np_eager():
+            return self._reduced_openings_np(rounds, dev_vals, alpha)
         E, he = self.E, self.he
         ro: Dict[int, object] = {}
         offsets: Dict[int, int] = {}
@@ -409,6 +511,8 @@ class TwoAdicFriPcs:
     def _commit_phase_host(self, ro, schedule, log_max_ro, challenger):
         """Per-round host-transcript loop (one blocking device_get per
         round): the generic path for any challenger/hasher pair."""
+        from .utils import jit_enabled
+
         E = self.E
         current = ro[log_max_ro]
         caps: List[np.ndarray] = []
@@ -435,7 +539,16 @@ class TwoAdicFriPcs:
             shift_cur = self._shift_at(log_max_ro, log_size)
             next_log = log_size - a_bits
             absorb = ro.get(next_log) if next_log in ro else None
-            if r + 1 < len(schedule):
+            if r + 1 < len(schedule) and not jit_enabled():
+                # eager (CPU): fold via the np mirror, commit via mmcs.commit
+                # (its np fast path) — the fused kernel only pays off jitted
+                current = self._fold_absorb(
+                    current, ext_scalar(E, beta), absorb, log_size, a_bits, shift_cur
+                )
+                cap, mdata = commit_level(current, schedule[r + 1], next_log)
+                caps.append(cap)
+                commit_datas.append(mdata)
+            elif r + 1 < len(schedule):
                 # fused: fold with β, absorb any input height, slice + build
                 # the next round's whole Merkle tree — ONE kernel per round
                 next_a = schedule[r + 1]
@@ -489,8 +602,12 @@ class TwoAdicFriPcs:
         from .device_transcript import GOLDILOCKS_P
         from .merkle import Blake3FieldHasher
 
+        from .utils import jit_enabled
+
         if os.environ.get("MULTISTARK_DEVICE_TRANSCRIPT", "1") in ("0", "false", "off"):
             return False
+        if not jit_enabled():
+            return False  # eager (CPU): the host path with np mirrors is faster
         return (
             isinstance(challenger, SerializingChallenger64)
             and isinstance(self.mmcs.hasher, Blake3FieldHasher)
@@ -754,10 +871,38 @@ class TwoAdicFriPcs:
         return tuple(planes)
 
     def _fold_absorb(self, current, beta_d, absorb, log_size: int, a_bits: int, shift: int):
+        if self._np_eager() and not _has_tracer((current, beta_d, absorb)):
+            return self._fold_absorb_np(current, beta_d, absorb, log_size, a_bits, shift)
         folded = self._fold_multi(current, beta_d, log_size, a_bits, shift)
         if absorb is not None:
             folded = self.E.add(folded, absorb)
         return folded
+
+    def _fold_absorb_np(self, current, beta_d, absorb, log_size, a_bits, shift):
+        """NumPy mirror of _fold_multi + absorb (eager CPU path; exact)."""
+        E, hf = self.E, self.hf
+        nf, ne = self._np_field_pair()
+        mulfn = npref.gl_mul if hf.name == "Goldilocks" else npref.bb_mul
+        cur = E.to_np(current)  # (N, D)
+        beta_s = ne.of_scalar(tuple(int(c) for c in E.to_np(beta_d)))
+        half_inv = np.uint64(hf.inv(2))
+        for s in range(a_bits):
+            log_m = log_size - s
+            g_inv = hf.inv(hf.two_adic_generator(log_m))
+            s_inv = hf.inv(hf.exp_power_of_2(shift, s))
+            tab = mulfn(np_powers(hf, g_inv, 1 << log_m), np.uint64(s_inv))[
+                bit_reverse_indices(log_m)
+            ]
+            inv_x_even = tab[0::2]
+            a, b = cur[0::2], cur[1::2]
+            sm = ne.scale(ne.add(a, b), half_inv)
+            df = ne.scale(ne.sub(a, b), nf.mul(inv_x_even, half_inv))
+            cur = ne.add(sm, ne.mul(df, beta_s))
+            if s + 1 < a_bits:
+                beta_s = ne.mul(beta_s, beta_s)
+        if absorb is not None:
+            cur = ne.add(cur, E.to_np(absorb))
+        return E.from_np(cur)
 
     def _fold_commit_kernel(
         self, current, beta_d, absorb, log_size: int, a_bits: int, next_a: int, shift: int

@@ -248,6 +248,14 @@ def _quotient_chunk_coeffs(
         "transition": F.from_np(sel_np.is_transition),
         "inv_vanishing": F.from_np(sel_np.inv_vanishing),
     }
+    from .utils import jit_enabled
+
+    if not jit_enabled() and hf.name in ("Goldilocks", "BabyBear"):
+        return _quotient_chunk_np(
+            config, circuit, log_n, q, mats, sel_np, beta, gamma, alpha,
+            acc_prev, acc_final,
+        )
+
     pubs = tuple(ext_scalar(E, v) for v in (beta, gamma, acc_prev, acc_final))
     alpha_d = ext_scalar(E, alpha)
 
@@ -258,6 +266,81 @@ def _quotient_chunk_coeffs(
         ),
     )
     return kern(mats, selectors, pubs, alpha_d)
+
+
+def _quotient_chunk_np(
+    config, circuit, log_n, q, mats, sel_np, beta, gamma, alpha, acc_prev, acc_final
+):
+    """Eager (CPU) NumPy mirror of _quotient_kernel's sweep + α-fold +
+    Z_H division; only the final iDFT runs through the engine.  Values are
+    exact mod-p, so the committed coefficients (and hence the transcript)
+    are identical to the jitted path."""
+    from .evaluator import NpBaseAlgebra
+    from .fields import npref
+
+    F, E = config.field, config.ext
+    hf, he = config.host_field, config.host_ext
+    ep = config.extension_params
+    D = ep.degree
+    engine = get_engine(F)
+    n = 1 << log_n
+    m = n * q
+
+    nf = npref.NpField(hf)
+    mats_np = {src: F.to_np(mat) for src, mat in mats.items()}
+
+    def var_provider(source, col, offset):
+        colv = mats_np[source][col]
+        return np.roll(colv, -q) if offset == 1 else colv
+
+    pubs_np = tuple(
+        tuple(np.uint64(int(c) % hf.p) for c in v)
+        for v in (beta, gamma, acc_prev, acc_final)
+    )
+
+    def publics(idx):
+        return pubs_np[idx // D][idx % D]
+
+    selectors = {
+        "first": np.asarray(sel_np.is_first_row, np.uint64),
+        "last": np.asarray(sel_np.is_last_row, np.uint64),
+        "transition": np.asarray(sel_np.is_transition, np.uint64),
+    }
+    alg = NpBaseAlgebra(hf, var_provider, publics, selectors)
+    buf = sweep(circuit.graph, alg)
+    user_vals = constraint_values(circuit.graph, buf)
+    lvals = graph_lookup_values(circuit.graph, buf)
+    logup_vals = lk.logup_constraint_values(
+        alg, ep, hf, circuit.num_lookups,
+        lambda col, off: var_provider(Source.STAGE2.value, col, off),
+        lvals, selectors["last"], pubs_np, log_n,
+    )
+    values = list(user_vals)
+    for lv in logup_vals:
+        values.extend(lv)
+    assert len(values) == circuit.constraint_count
+
+    K = len(values)
+    apows = [he.one]
+    for _ in range(K - 1):
+        apows.append(he.mul(apows[-1], alpha))
+    coords = [np.zeros(m, np.uint64) for _ in range(D)]
+    for i, v in enumerate(values):
+        ap = apows[K - 1 - i]
+        vv = np.broadcast_to(np.asarray(v, np.uint64), (m,))
+        for d in range(D):
+            coords[d] = nf.add(coords[d], nf.mul(vv, np.uint64(ap[d] % hf.p)))
+    inv_van = np.asarray(sel_np.inv_vanishing, np.uint64)
+    coords = [nf.mul(c, inv_van) for c in coords]
+
+    qmat = E.base.from_np(np.stack(coords, axis=0))  # (D, m) planes
+    shift = hf.mul(hf.generator, 1)
+    coeffs = engine.icoset_from_natural(qmat, log_n + (q.bit_length() - 1), shift)
+    rows = []
+    for i in range(q):
+        for d in range(D):
+            rows.append(jax.tree.map(lambda p: p[d, i * n : (i + 1) * n], coeffs))
+    return tuple(jnp.stack([r[p] for r in rows], axis=0) for p in range(F.num_planes))
 
 
 def _quotient_kernel(config, circuit, log_n, q, mats, selectors, pubs, alpha_d):

@@ -244,8 +244,29 @@ def cumsum(ops, x, axis: int = -1):
     Used for the logUp accumulator chain (reference src/lookup.rs:472-555
     threads it serially; we restructure as a parallel prefix sum)."""
     moved = jax.tree.map(lambda a: jnp.moveaxis(a, axis, 0), x)
-    acc = jax.lax.associative_scan(ops.add, moved, axis=0)
+    if jit_enabled():
+        acc = jax.lax.associative_scan(ops.add, moved, axis=0)
+    else:
+        # eager: same Hillis-Steele rationale as batch_inv (associative_scan
+        # rebuilds its combine network per eager call)
+        acc = _eager_scan(ops.add, moved)
     return jax.tree.map(lambda a: jnp.moveaxis(a, 0, axis), acc)
+
+
+def _eager_scan(combine, a):
+    """Inclusive scan along axis 0 with `combine` (Hillis-Steele), identical
+    semantics to jax.lax.associative_scan(combine, a, axis=0)."""
+    n = jax.tree.leaves(a)[0].shape[0]
+    s = 1
+    while s < n:
+        keep = jax.tree.map(lambda t, _s=s: t[:_s], a)
+        comb = combine(
+            jax.tree.map(lambda t, _s=s: t[_s:], a),
+            jax.tree.map(lambda t, _s=s: t[:-_s], a),
+        )
+        a = jax.tree.map(lambda k, c: jnp.concatenate([k, c], axis=0), keep, comb)
+        s <<= 1
+    return a
 
 
 def ext_scalar(E, v):

@@ -96,11 +96,10 @@ class TestHasherDriven:
         assert got == digest
 
 
-@pytest.mark.skipif(
-    os.environ.get("MULTISTARK_SLOW") != "1",
-    reason="full 10-circuit prove is slow on CPU; set MULTISTARK_SLOW=1",
-)
 class TestBlake3E2E:
+    """Default-suite since the eager NumPy mirrors: the full 10-circuit
+    prove runs in ~35s on CPU (was ~10min)."""
+
     def test_prove_verify_hasher_driven(self):
         """Hasher-driven multi-compression prove (reference
         blake3.rs:2216-2340): a 2-block message's chained compressions are
