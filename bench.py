@@ -36,6 +36,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+# honor MULTISTARK_PLATFORM before jax initializes (main() touches jax
+# before the package import would apply it; without this a CPU-forced bench
+# still initializes the axon TPU plugin and hangs if the tunnel is down)
+if os.environ.get("MULTISTARK_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["MULTISTARK_PLATFORM"])
+
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)

@@ -345,7 +345,12 @@ class TwoAdicFriPcs:
                 ap = np.asarray(
                     [list(a) for a in self._host_ext_powers(alpha, w)], np.uint64
                 )  # (w, D)
-                u = nf.sum_axis(nf.mul(m_np[:, :, None], ap[:, None, :]), 0)  # (N, D)
+                # u = Σ_j α^j·col_j as w·D vectorized (N,) passes — a
+                # (w, N, D) broadcast would cost seconds at 2^14+ widths
+                u = np.zeros((N, ap.shape[1]), np.uint64)
+                for j in range(w):
+                    for d in range(ap.shape[1]):
+                        u[:, d] = nf.add(u[:, d], nf.mul(m_np[j], ap[j, d]))
                 g = hf.two_adic_generator(log_lde)
                 x_full = mulfn(np_powers(hf, g, N), np.uint64(hf.generator))[
                     bit_reverse_indices(log_lde)
