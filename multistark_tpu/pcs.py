@@ -314,7 +314,12 @@ class TwoAdicFriPcs:
                     for _ in range(log_n):
                         zn = he.mul(zn, zn)
                     c = he.mul(he.sub(zn, he.from_base(s_n)), he.from_base(inv_ns))
-                    acc = nf.sum_axis(nf.mul(small[:, :, None], w_i[None, :, :]), 1)
+                    # Σ_i e_i·w_i as w·D vectorized (n,) passes (no (w,n,D)
+                    # broadcast temp)
+                    D = w_i.shape[1]
+                    acc = np.empty((small.shape[0], D), np.uint64)
+                    for d in range(D):
+                        acc[:, d] = nf.sum_axis(nf.mul(small, w_i[None, :, d]), 1)
                     vals = ne.mul(acc, ne.of_scalar(c))  # (w, D)
                     mat_dev.append(vals)
                     mat_vals.append([tuple(int(c_) for c_ in row) for row in vals])
