@@ -181,3 +181,50 @@ class TestHigherArity:
         vch2.observe_commitment(cap)
         with pytest.raises(VerificationError):
             pcs.verify(rounds, proof, vch2)
+
+
+class TestZeroFoldDegenerate:
+    """Every opened matrix already at final-poly size: the arity schedule is
+    EMPTY — no commit-phase trees, no betas; the final poly is the reduced
+    opening itself.  Round-1 advisor finding: open() must not index
+    schedule[0] here."""
+
+    def _pcs(self):
+        return TwoAdicFriPcs(
+            GL_OPS, GL2_OPS, F, E, Blake3FieldHasher(GL_OPS),
+            CommitmentParameters(log_blowup=2, cap_height=0),
+            FriParameters(
+                log_final_poly_len=3, max_log_arity=1, num_queries=4,
+                commit_proof_of_work_bits=1, query_proof_of_work_bits=1,
+            ),
+        )
+
+    def test_roundtrip_and_tamper(self):
+        pcs = self._pcs()
+        eng = get_engine(GL_OPS)
+        coeffs = RNG.integers(0, F.p, size=(2, 8), dtype=np.uint64)
+        d = pcs.natural_domain_for_degree(8)  # log_max_ro = 3+2 = final size
+        evals = eng.dft_natural(GL_OPS.from_np(coeffs), 3)
+        cap, data = pcs.commit([(d, evals)])
+        zeta = rand_ext()
+        ch = new_ch()
+        ch.observe_commitment(cap)
+        opened, proof = pcs.open([(data, [[zeta]])], ch)
+        assert proof.commit_caps == [] and proof.commit_pow_witnesses == []
+        assert len(proof.final_poly) == 8
+        for j in range(2):
+            assert opened[0][0][0][j] == host_eval(coeffs[j], zeta)
+
+        rounds = [(cap, [(3, 2, [(zeta, opened[0][0][0])])])]
+        vch = new_ch()
+        vch.observe_commitment(cap)
+        pcs.verify(rounds, proof, vch)  # must not raise
+
+        bad = proof
+        orig = bad.final_poly[2]
+        bad.final_poly[2] = E.add(orig, E.one)
+        vch = new_ch()
+        vch.observe_commitment(cap)
+        with pytest.raises(VerificationError):
+            pcs.verify(rounds, bad, vch)
+        bad.final_poly[2] = orig
