@@ -43,6 +43,26 @@ if os.environ.get("MULTISTARK_PLATFORM"):
     import jax as _jax
 
     _jax.config.update("jax_platforms", os.environ["MULTISTARK_PLATFORM"])
+else:
+    # The axon TPU plugin tunnels through local ports; if the remote-compile
+    # endpoint is unreachable, jax initialization blocks forever.  Probe it
+    # and fall back to CPU (clearly labelled in the output) so the bench
+    # always produces a result.
+    import socket
+
+    def _tunnel_up(port=8083, timeout=3.0) -> bool:
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=timeout):
+                return True
+        except OSError:
+            return False
+
+    if not _tunnel_up():
+        log_msg = "bench: TPU tunnel unreachable (port 8083); falling back to CPU"
+        print(log_msg, file=sys.stderr, flush=True)
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
 
 
 def log(*args):
