@@ -228,3 +228,45 @@ class TestZeroFoldDegenerate:
         with pytest.raises(VerificationError):
             pcs.verify(rounds, bad, vch)
         bad.final_poly[2] = orig
+
+
+class TestPowTampering:
+    """Grinding witnesses are transcript-bound: corrupting either the
+    commit-phase or the query-phase PoW witness must be rejected
+    (reference src/types.rs:43-81 DeterministicPow + verifier checks)."""
+
+    def _proved(self):
+        pcs = make_pcs(queries=4, pow_bits=4)
+        eng = get_engine(GL_OPS)
+        coeffs = RNG.integers(0, F.p, size=(2, 16), dtype=np.uint64)
+        d = pcs.natural_domain_for_degree(16)
+        cap, data = pcs.commit([(d, eng.dft_natural(GL_OPS.from_np(coeffs), 4))])
+        zeta = rand_ext()
+        ch = new_ch()
+        ch.observe_commitment(cap)
+        opened, proof = pcs.open([(data, [[zeta]])], ch)
+        rounds = [(cap, [(4, 2, [(zeta, opened[0][0][0])])])]
+        return pcs, rounds, proof
+
+    def _verify(self, pcs, rounds, proof):
+        vch = new_ch()
+        vch.observe_commitment(rounds[0][0])
+        pcs.verify(rounds, proof, vch)
+
+    def test_valid_accepts(self):
+        pcs, rounds, proof = self._proved()
+        self._verify(pcs, rounds, proof)
+
+    def test_commit_pow_tamper_rejected(self):
+        pcs, rounds, proof = self._proved()
+        orig = proof.commit_pow_witnesses[0]
+        proof.commit_pow_witnesses[0] = orig + 1
+        with pytest.raises(VerificationError):
+            self._verify(pcs, rounds, proof)
+        proof.commit_pow_witnesses[0] = orig
+
+    def test_query_pow_tamper_rejected(self):
+        pcs, rounds, proof = self._proved()
+        proof.query_pow_witness += 1
+        with pytest.raises(VerificationError):
+            self._verify(pcs, rounds, proof)
