@@ -336,9 +336,9 @@ def stage_2_traces(
             mats.append(planes)
             accs.append(acc)
             continue
-        from .utils import jit_enabled
+        from .utils import jit_enabled, np_mirrors_enabled
 
-        if not jit_enabled() and hf.name in ("Goldilocks", "BabyBear"):
+        if not jit_enabled() and np_mirrors_enabled() and hf.name in ("Goldilocks", "BabyBear"):
             planes, total_host = _stage2_np(F, E, hf, he, lv, beta, gamma, acc)
             acc = he.add(acc, total_host)
             mats.append(planes)

@@ -134,7 +134,7 @@ class MerkleMmcs:
             "sub-cap matrices are not bound by the commitment"
         )
 
-        from .utils import jit_enabled
+        from .utils import jit_enabled, np_mirrors_enabled
 
         def _plain(l):
             if isinstance(l, jax.core.Tracer):
@@ -144,6 +144,7 @@ class MerkleMmcs:
 
         if (
             not jit_enabled()
+            and np_mirrors_enabled()
             and hasattr(self.hasher, "np_hash_rows_batch")
             and all(_plain(l) for l in jax.tree.leaves(mats))
         ):

@@ -130,9 +130,13 @@ class NttEngine:
         return self._np_tw[key]
 
     def _np_eager_ok(self, x) -> bool:
-        from ..utils import jit_enabled
+        from ..utils import jit_enabled, np_mirrors_enabled
 
-        if jit_enabled() or self.host.name not in ("Goldilocks", "BabyBear"):
+        if (
+            jit_enabled()
+            or not np_mirrors_enabled()
+            or self.host.name not in ("Goldilocks", "BabyBear")
+        ):
             return False
         for l in jax.tree.leaves(x):
             if isinstance(l, jax.core.Tracer):

@@ -276,9 +276,13 @@ class TwoAdicFriPcs:
         return nf, npref.NpExt(nf, self.he)
 
     def _np_eager(self) -> bool:
-        from .utils import jit_enabled
+        from .utils import jit_enabled, np_mirrors_enabled
 
-        return not jit_enabled() and self.hf.name in ("Goldilocks", "BabyBear")
+        return (
+            not jit_enabled()
+            and np_mirrors_enabled()
+            and self.hf.name in ("Goldilocks", "BabyBear")
+        )
 
     def _claimed_evaluations_np(self, rounds, dev_vals):
         """NumPy mirror of _eval_kernel over every (matrix, point):
@@ -521,7 +525,7 @@ class TwoAdicFriPcs:
     def _commit_phase_host(self, ro, schedule, log_max_ro, challenger):
         """Per-round host-transcript loop (one blocking device_get per
         round): the generic path for any challenger/hasher pair."""
-        from .utils import jit_enabled
+        from .utils import jit_enabled, np_mirrors_enabled
 
         E = self.E
         current = ro[log_max_ro]
@@ -549,7 +553,7 @@ class TwoAdicFriPcs:
             shift_cur = self._shift_at(log_max_ro, log_size)
             next_log = log_size - a_bits
             absorb = ro.get(next_log) if next_log in ro else None
-            if r + 1 < len(schedule) and not jit_enabled():
+            if r + 1 < len(schedule) and not jit_enabled() and np_mirrors_enabled():
                 # eager (CPU): fold via the np mirror, commit via mmcs.commit
                 # (its np fast path) — the fused kernel only pays off jitted
                 current = self._fold_absorb(

@@ -248,9 +248,9 @@ def _quotient_chunk_coeffs(
         "transition": F.from_np(sel_np.is_transition),
         "inv_vanishing": F.from_np(sel_np.inv_vanishing),
     }
-    from .utils import jit_enabled
+    from .utils import jit_enabled, np_mirrors_enabled
 
-    if not jit_enabled() and hf.name in ("Goldilocks", "BabyBear"):
+    if not jit_enabled() and np_mirrors_enabled() and hf.name in ("Goldilocks", "BabyBear"):
         return _quotient_chunk_np(
             config, circuit, log_n, q, mats, sel_np, beta, gamma, alpha,
             acc_prev, acc_final,

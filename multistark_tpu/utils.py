@@ -60,10 +60,19 @@ def cached_jit(key, make_fn):
     return fn
 
 
+def np_mirrors_enabled() -> bool:
+    """Kill-switch for every eager NumPy mirror (MULTISTARK_NP_MIRRORS=0
+    forces the jnp kernels; tests/test_np_mirror_parity.py pins byte
+    equality between the two)."""
+    import os
+
+    return os.environ.get("MULTISTARK_NP_MIRRORS", "1") not in ("0", "false", "off")
+
+
 def batch_inv(ops, x, axis: int = -1):
     # ops.name is required: an id()-keyed fallback would alias recycled ids
     # (CLAUDE.md cache rule) and return a kernel bound to a different ops
-    if not jit_enabled() and not any(
+    if not jit_enabled() and np_mirrors_enabled() and not any(
         isinstance(l, jax.core.Tracer) for l in jax.tree.leaves(x)
     ):  # never under an explicitly-jitted body (e.g. shard_map kernels)
         out = _np_batch_inv(ops, x)
