@@ -294,3 +294,65 @@ int msgl_claims_acc2(const uint64_t *vals, uint64_t n, uint64_t L,
     out[1] = acc.c1;
     return 0;
 }
+
+/* ---- Goldilocks radix-2 butterfly passes (host NTT accelerator) -----------
+ * In-place DIF/DIT over a row-major (w, n) u64 matrix, mirroring
+ * ntt.py _dif_np/_dit_np exactly (same stage order and butterfly algebra).
+ * tw = concatenated per-stage twiddle tables in INCREASING stage order
+ * (lengths 1, 2, 4, ..., n/2 — ntt.py _np_twiddles layout); DIF applies
+ * them in reverse, DIT forward.  OpenMP-parallel over rows. */
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+static void gl_dif_row(uint64_t *x, uint64_t n, uint64_t log_n, const uint64_t *tw) {
+    for (uint64_t s = log_n; s >= 1; s--) {
+        uint64_t half = 1ull << (s - 1);
+        const uint64_t *t = tw + (half - 1); /* offset of stage s table */
+        for (uint64_t blk = 0; blk < n; blk += 2 * half) {
+            uint64_t *a = x + blk, *b = x + blk + half;
+            for (uint64_t i = 0; i < half; i++) {
+                uint64_t lo = gla(a[i], b[i]);
+                uint64_t hi = glm(gls(a[i], b[i]), t[i]);
+                a[i] = lo;
+                b[i] = hi;
+            }
+        }
+    }
+}
+
+static void gl_dit_row(uint64_t *x, uint64_t n, uint64_t log_n, const uint64_t *tw) {
+    for (uint64_t s = 1; s <= log_n; s++) {
+        uint64_t half = 1ull << (s - 1);
+        const uint64_t *t = tw + (half - 1);
+        for (uint64_t blk = 0; blk < n; blk += 2 * half) {
+            uint64_t *a = x + blk, *b = x + blk + half;
+            for (uint64_t i = 0; i < half; i++) {
+                uint64_t m = glm(b[i], t[i]);
+                uint64_t lo = gla(a[i], m);
+                uint64_t hi = gls(a[i], m);
+                a[i] = lo;
+                b[i] = hi;
+            }
+        }
+    }
+}
+
+/* But the Python mirrors interleave ACROSS the whole array (the stage's
+ * butterfly pairs elements blk+i and blk+half+i within each 2*half block),
+ * exactly as above.  DIF stage order: largest half first == reversed
+ * increasing-stage tables; here s runs log_n..1 with table offset half-1,
+ * matching _np_twiddles (stage s table starts at half-1 = 2^(s-1)-1). */
+
+void msgl_dif(uint64_t *x, uint64_t w, uint64_t log_n, const uint64_t *tw) {
+    uint64_t n = 1ull << log_n;
+#pragma omp parallel for schedule(static)
+    for (uint64_t r = 0; r < w; r++) gl_dif_row(x + r * n, n, log_n, tw);
+}
+
+void msgl_dit(uint64_t *x, uint64_t w, uint64_t log_n, const uint64_t *tw) {
+    uint64_t n = 1ull << log_n;
+#pragma omp parallel for schedule(static)
+    for (uint64_t r = 0; r < w; r++) gl_dit_row(x + r * n, n, log_n, tw);
+}

@@ -41,10 +41,16 @@ def _native_lib():
         src = os.path.join(root, "csrc", "b3.c")
         so = os.path.join(root, "csrc", "libmsb3.so")
         if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
-            subprocess.run(
-                ["cc", "-O2", "-shared", "-fPIC", "-o", so, src],
-                check=True, capture_output=True, timeout=60,
-            )
+            try:  # OpenMP parallelizes the NTT butterflies; plain build as fallback
+                subprocess.run(
+                    ["cc", "-O2", "-fopenmp", "-shared", "-fPIC", "-o", so, src],
+                    check=True, capture_output=True, timeout=60,
+                )
+            except subprocess.CalledProcessError:
+                subprocess.run(
+                    ["cc", "-O2", "-shared", "-fPIC", "-o", so, src],
+                    check=True, capture_output=True, timeout=60,
+                )
         lib = ctypes.CDLL(so)
         lib.msb3_hash.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint8)]
         lib.msb3_grind.argtypes = [
@@ -62,6 +68,8 @@ def _native_lib():
             u64p, ctypes.c_uint64, ctypes.c_uint64, u64p, u64p, u64p, u64p,
         ]
         lib.msgl_claims_acc2.restype = ctypes.c_int
+        lib.msgl_dif.argtypes = [u64p, ctypes.c_uint64, ctypes.c_uint64, u64p]
+        lib.msgl_dit.argtypes = [u64p, ctypes.c_uint64, ctypes.c_uint64, u64p]
         _NATIVE = lib
     except Exception:
         _NATIVE = None

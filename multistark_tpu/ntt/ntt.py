@@ -146,8 +146,31 @@ class NttEngine:
                 return False  # keep sharded transforms on the mesh
         return True
 
+    def _native_transform(self, x: np.ndarray, log_n: int, inverse: bool, dif: bool):
+        """C-accelerated (OpenMP) Goldilocks butterflies; None if unavailable."""
+        if self.host.name != "Goldilocks" or log_n == 0:
+            return None
+        import ctypes
+
+        from ..hash.blake3 import _native_lib
+
+        lib = _native_lib()
+        if lib is None or not hasattr(lib, "msgl_dif"):
+            return None
+        tw = np.concatenate(self._np_twiddles(log_n, inverse))  # stage order
+        n = 1 << log_n
+        out = np.ascontiguousarray(x.reshape(-1, n), np.uint64).copy()
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        fn = lib.msgl_dif if dif else lib.msgl_dit
+        fn(out.ctypes.data_as(u64p), out.shape[0], log_n,
+           np.ascontiguousarray(tw, np.uint64).ctypes.data_as(u64p))
+        return out.reshape(x.shape)
+
     def _dit_np(self, x: np.ndarray, log_n: int, inverse: bool) -> np.ndarray:
         """NumPy mirror of _dit_impl over uint64 (…, n) arrays."""
+        native = self._native_transform(x, log_n, inverse, dif=False)
+        if native is not None:
+            return native
         mul, _ = _np_field_fns(self.host)
         add, sub = (npref.gl_add, npref.gl_sub) if self.host.name == "Goldilocks" else (
             npref.bb_add, npref.bb_sub)
@@ -165,6 +188,9 @@ class NttEngine:
 
     def _dif_np(self, x: np.ndarray, log_n: int, inverse: bool) -> np.ndarray:
         """NumPy mirror of _dif_impl over uint64 (…, n) arrays."""
+        native = self._native_transform(x, log_n, inverse, dif=True)
+        if native is not None:
+            return native
         mul, _ = _np_field_fns(self.host)
         add, sub = (npref.gl_add, npref.gl_sub) if self.host.name == "Goldilocks" else (
             npref.bb_add, npref.bb_sub)
