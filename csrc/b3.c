@@ -356,3 +356,41 @@ void msgl_dit(uint64_t *x, uint64_t w, uint64_t log_n, const uint64_t *tw) {
 #pragma omp parallel for schedule(static)
     for (uint64_t r = 0; r < w; r++) gl_dit_row(x + r * n, n, log_n, tw);
 }
+
+/* Batch inverse over n Goldilocks^2 elements (rows of 2 u64 coords), zeros
+ * mapping to zero (p3 batch_multiplicative_inverse semantics).  Montgomery
+ * trick with caller scratch (n*2 u64).  Returns 0. */
+int msgl_batch_inv2(const uint64_t *in, uint64_t n, uint64_t *scratch, uint64_t *out) {
+    gl2 *pre = (gl2 *)scratch;
+    gl2 run = {1, 0};
+    for (uint64_t i = 0; i < n; i++) {
+        pre[i] = run; /* product of nonzero elements BEFORE i */
+        gl2 v = {in[2 * i], in[2 * i + 1]};
+        if ((v.c0 | v.c1) != 0) run = gl2_mul(run, v);
+    }
+    gl2 tinv = ((run.c0 | run.c1) != 0) ? gl2_inv(run) : (gl2){0, 0};
+    for (uint64_t i = n; i-- > 0;) {
+        gl2 v = {in[2 * i], in[2 * i + 1]};
+        if ((v.c0 | v.c1) == 0) {
+            out[2 * i] = 0;
+            out[2 * i + 1] = 0;
+        } else {
+            gl2 r = gl2_mul(pre[i], tinv);
+            out[2 * i] = r.c0;
+            out[2 * i + 1] = r.c1;
+            tinv = gl2_mul(tinv, v);
+        }
+    }
+    return 0;
+}
+
+/* In-place inclusive prefix sum of n Goldilocks^2 elements. */
+void msgl_prefix_sum2(uint64_t *x, uint64_t n) {
+    uint64_t a = 0, b = 0;
+    for (uint64_t i = 0; i < n; i++) {
+        a = gla(a, x[2 * i]);
+        b = gla(b, x[2 * i + 1]);
+        x[2 * i] = a;
+        x[2 * i + 1] = b;
+    }
+}

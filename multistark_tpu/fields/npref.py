@@ -195,6 +195,46 @@ def reverse_bits_vec(x: np.ndarray, bits: int) -> np.ndarray:
     return r
 
 
+def gl2_batch_inv_native(a: np.ndarray, raise_on_zero: bool):
+    """C batch inverse over (Q, 2) Goldilocks^2 rows (zeros map to zero);
+    None if the native lib is absent."""
+    import ctypes
+
+    from ..hash.blake3 import _native_lib
+
+    lib = _native_lib()
+    if lib is None or not hasattr(lib, "msgl_batch_inv2"):
+        return None
+    a = np.ascontiguousarray(a, np.uint64)
+    if raise_on_zero and not a.any(axis=1).all():
+        raise ZeroDivisionError("zero element in batch inverse")
+    n = a.shape[0]
+    scratch = np.empty(2 * n, np.uint64)
+    out = np.empty_like(a)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.msgl_batch_inv2(
+        a.ctypes.data_as(u64p), n, scratch.ctypes.data_as(u64p),
+        out.ctypes.data_as(u64p),
+    )
+    return out
+
+
+def gl2_prefix_sum_native(a: np.ndarray):
+    """In-place-free C inclusive prefix sum over (Q, 2) Goldilocks^2 rows;
+    None if the native lib is absent."""
+    import ctypes
+
+    from ..hash.blake3 import _native_lib
+
+    lib = _native_lib()
+    if lib is None or not hasattr(lib, "msgl_prefix_sum2"):
+        return None
+    out = np.ascontiguousarray(a, np.uint64).copy()
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.msgl_prefix_sum2(out.ctypes.data_as(u64p), out.shape[0])
+    return out
+
+
 def np_batch_inv_base(nf: "NpField", host, a: np.ndarray) -> np.ndarray:
     """(Q,) nonzero base elements -> elementwise inverses via a pairwise
     product tree + ONE host inversion at the root."""
@@ -268,8 +308,14 @@ class NpExt:
     def batch_inv(self, a: np.ndarray) -> np.ndarray:
         """(Q, D) -> elementwise inverses via a pairwise product TREE
         (≈3·Q ext muls total vs 2·Q·log Q for a scan) + ONE scalar host
-        inversion at the root (Montgomery trick)."""
+        inversion at the root (Montgomery trick).  Goldilocks^2 takes the
+        native C path (csrc msgl_batch_inv2).  Raises ZeroDivisionError on
+        any zero element (callers wanting zero→zero mask first)."""
         he = self.he
+        if he.name == "Goldilocks^2":
+            out = gl2_batch_inv_native(a, raise_on_zero=True)
+            if out is not None:
+                return out
         one = self.of_scalar(he.one)
         levels = [a]
         cur = a

@@ -70,6 +70,9 @@ def _native_lib():
         lib.msgl_claims_acc2.restype = ctypes.c_int
         lib.msgl_dif.argtypes = [u64p, ctypes.c_uint64, ctypes.c_uint64, u64p]
         lib.msgl_dit.argtypes = [u64p, ctypes.c_uint64, ctypes.c_uint64, u64p]
+        lib.msgl_batch_inv2.argtypes = [u64p, ctypes.c_uint64, u64p, u64p]
+        lib.msgl_batch_inv2.restype = ctypes.c_int
+        lib.msgl_prefix_sum2.argtypes = [u64p, ctypes.c_uint64]
         _NATIVE = lib
     except Exception:
         _NATIVE = None

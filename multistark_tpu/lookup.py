@@ -383,12 +383,18 @@ def _stage2_np(F, E, hf, he, lv, beta, gamma, acc):
     flat = msgs.reshape(n * L, D)  # row-major, slot-minor (the chain order)
     inv = ne.batch_inv(flat)
     terms = ne.scale(inv, mults.reshape(-1))
-    # inclusive prefix sum mod p (Hillis-Steele over (n·L, D))
-    incl = terms.copy()
-    s = 1
-    while s < incl.shape[0]:
-        incl[s:] = nf.add(incl[s:], incl[:-s])
-        s <<= 1
+    # inclusive prefix sum mod p (native C single pass; Hillis-Steele fallback)
+    incl = None
+    if he.name == "Goldilocks^2":
+        from .fields.npref import gl2_prefix_sum_native
+
+        incl = gl2_prefix_sum_native(terms)
+    if incl is None:
+        incl = terms.copy()
+        s = 1
+        while s < incl.shape[0]:
+            incl[s:] = nf.add(incl[s:], incl[:-s])
+            s <<= 1
     total_host = tuple(int(c) for c in incl[-1])
     excl = np.roll(incl, 1, axis=0)
     excl[0] = 0

@@ -99,6 +99,10 @@ def _np_batch_inv(ops, x):
     D = getattr(ops, "D", 1)
     shape = a.shape
     rows = a.reshape(-1, D) if D > 1 else a.reshape(-1, 1)
+    if D == 2 and getattr(ops, "name", "") == "Goldilocks^2":
+        fast = npref.gl2_batch_inv_native(rows, raise_on_zero=False)
+        if fast is not None:  # zeros map to zero natively
+            return ops.from_np(fast.reshape(shape))
     zero = ~rows.any(axis=1)
     safe = rows.copy()
     safe[zero, 0] = 1
