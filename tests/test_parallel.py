@@ -98,3 +98,36 @@ class TestMeshProve:
             proof_mesh = system.prove(key, witness)
         system.verify(proof_mesh)
         assert proof_ref.to_bytes(config) == proof_mesh.to_bytes(config)
+
+
+class TestMeshProveWithLookups:
+    def test_u32_add_byte_identical_on_mesh(self, pm):
+        """The full bench system (U32Add + preprocessed ByteTable,
+        cross-circuit lookups, claims) proves BYTE-IDENTICALLY under the
+        row mesh — covers sharded LDE/Merkle for preprocessed commits and
+        mixed heights, not just the simple mul circuit above."""
+        from multistark_tpu.test_circuits import u32_add_system_inputs, u32_add_witness
+
+        config = GoldilocksBlake3Config(
+            CommitmentParameters(log_blowup=2, cap_height=0),
+            FriParameters(
+                log_final_poly_len=0, max_log_arity=1, num_queries=4,
+                commit_proof_of_work_bits=1, query_proof_of_work_bits=1,
+            ),
+        )
+        system, key = System.new(config, u32_add_system_inputs())
+        n = 256  # tall enough that the mesh shards the 1024-row LDE
+        xs = RNG.integers(0, 1 << 32, n, dtype=np.uint64)
+        ys = RNG.integers(0, 1 << 32, n, dtype=np.uint64)
+        traces, claims = u32_add_witness(list(zip(xs.tolist(), ys.tolist())), n)
+        witness = SystemWitness.from_stage_1(traces, system, key)
+
+        from multistark_tpu.verifier import verify_multiple_claims
+
+        proof_ref = system.prove_multiple_claims(key, witness, claims)
+        with par.use_mesh(pm.mesh):
+            # the preprocessed commit was made unsharded at setup; the mesh
+            # prove must interoperate with it
+            proof_mesh = system.prove_multiple_claims(key, witness, claims)
+        verify_multiple_claims(system, claims, proof_mesh)
+        assert proof_ref.to_bytes(config) == proof_mesh.to_bytes(config)
