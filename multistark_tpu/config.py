@@ -39,6 +39,19 @@ class FriParameters:
             query_proof_of_work_bits=10,
         )
 
+    def conjectured_fri_bits(self, log_blowup: int) -> float:
+        """Conjectured FRI query-phase soundness in bits: each query catches
+        a cheating prover w.p. ≈ 1 - ρ (ρ = 2^-log_blowup), so the error is
+        ρ^num_queries ≈ 2^-(log_blowup·num_queries), plus the query-PoW
+        grinding bits (reference src/verifier.rs:57-78)."""
+        return log_blowup * self.num_queries + self.query_proof_of_work_bits
+
+    def proven_fri_bits(self, log_blowup: int) -> float:
+        """Johnson-bound (proven) query-phase soundness in bits: each query
+        only provably catches w.p. ≈ 1 - √ρ, halving the per-query bits
+        (reference src/verifier.rs:64-71)."""
+        return 0.5 * log_blowup * self.num_queries + self.query_proof_of_work_bits
+
 
 class StarkConfig:
     """Protocol surface every concrete config provides (reference
@@ -66,3 +79,25 @@ class StarkConfig:
 
     def log_blowup(self) -> int:
         return self.commitment_parameters.log_blowup
+
+    def soundness_bits(
+        self, constraint_count: int, log_quotient_degree_bound: int, lookup_rows: int,
+        conjectured: bool = True,
+    ) -> float:
+        """Union-bound soundness estimate in bits (reference
+        src/verifier.rs:119-133):  ε ≤ ε_FRI + (k - 1 + D + N) / |F_ext|
+        with k constraints, D the quotient degree bound, N total lookup
+        rows.  Returns -log2(ε); use it to sanity-check parameter choices
+        (the production Goldilocks² config at B=4/100 queries/PoW 10+10
+        gives ≈2^-100 conjectured)."""
+        import math
+
+        fri = self.fri_parameters
+        lb = self.log_blowup()
+        fri_bits = (
+            fri.conjectured_fri_bits(lb) if conjectured else fri.proven_fri_bits(lb)
+        )
+        ext_bits = self.host_ext.D * self.host_field.p.bit_length()
+        sz = max(constraint_count - 1 + (1 << log_quotient_degree_bound) + lookup_rows, 1)
+        sz_bits = ext_bits - math.log2(sz)
+        return min(fri_bits, sz_bits)
