@@ -63,6 +63,10 @@ else:
         import jax as _jax
 
         _jax.config.update("jax_platforms", "cpu")
+        _TUNNEL_FALLBACK = True
+    else:
+        _TUNNEL_FALLBACK = False
+
 
 
 def log(*args):
@@ -212,6 +216,11 @@ def main():
                 "unit": "s",
                 "vs_baseline": None,
                 "backend": backend,
+                **(
+                    {"note": "TPU tunnel was unreachable; CPU fallback — NOT comparable to TPU captures"}
+                    if globals().get("_TUNNEL_FALLBACK")
+                    else {}
+                ),
                 "sizes": sizes,
             }
         )
