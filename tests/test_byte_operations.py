@@ -47,3 +47,20 @@ class TestByteOperations:
         bad[0][3] = 99
         with pytest.raises(VerificationError):
             verify_multiple_claims(system, bad, proof)
+
+    def test_roundtrip_full_byte_table(self):
+        """Reference-parity width: the full 8-bit table (2^16 rows,
+        byte_operations.rs:124-158), viable in the default suite since the
+        native host core."""
+        config = make_config()
+        system, key = System.new(config, [byte_operations_inputs(bits=8)])
+        claims = [
+            [XOR_CHAN, 0xA5, 0x3C, 0xA5 ^ 0x3C],
+            [AND_CHAN, 0xF0, 0x1F, 0xF0 & 0x1F],
+            [OR_CHAN, 0x80, 0x01, 0x80 | 0x01],
+            [RANGE_CHAN, 0xFF, 0],
+        ]
+        trace = byte_operations_witness(claims, bits=8)
+        witness = SystemWitness.from_stage_1([trace], system, key)
+        proof = prove_multiple_claims(system, key, witness, claims)
+        verify_multiple_claims(system, claims, proof)
