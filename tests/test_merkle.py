@@ -88,3 +88,17 @@ class TestMmcs:
         (op,) = mmcs.open_batch(data, np.array([9]))
         assert op.path.shape == (2, 8)
         assert mmcs.verify_batch(cap, [(2, 16)], 9, op)
+
+
+class TestSubCapGuard:
+    def test_sub_cap_matrix_rejected(self):
+        """A matrix shorter than the cap would never be injected into any
+        digest (silently unbound) — commit must refuse the combination
+        (round-1 advisor finding)."""
+        from multistark_tpu.merkle import Blake3FieldHasher, MerkleMmcs
+
+        mmcs = MerkleMmcs(Blake3FieldHasher(GL_OPS), cap_height=2)
+        tall = GL_OPS.from_np(np.arange(16, dtype=np.uint64).reshape(2, 8))
+        short = GL_OPS.from_np(np.arange(2, dtype=np.uint64).reshape(1, 2))
+        with pytest.raises(AssertionError, match="below cap"):
+            mmcs.commit([tall, short])
