@@ -2,6 +2,7 @@
 tamper rejection (SURVEY.md §7.1 step 3)."""
 
 import numpy as np
+import pytest
 
 from multistark_tpu.fields.device import GL_OPS
 from multistark_tpu.fields.host import GOLDILOCKS
