@@ -130,10 +130,64 @@ def blake3_case(msg_kib: int):
     return config, system, key, traces, claims
 
 
+def analytic_ops(system, heights):
+    """NTT butterflies + Merkle hash compressions per prove, from the
+    reference's analytic cost model (src/prover.rs:155-178, transcribed in
+    multistark_tpu/prover.py:9-23).  Counts per ACTIVE circuit of height n,
+    blowup B=2^b, widths (W1 main, W2 stage-2, q·D quotient):
+
+      NTT  : commit transform per column = n/2·log n (iDFT) +
+             nB/2·log(nB) (padded forward DFT); quotient adds the in-kernel
+             coset iDFT at m=n·q over D columns; FRI folds add the geometric
+             pair-fold tail Σ_r N/2^r.
+      hash : one leaf hash per LDE row per matrix + ~N_max internal
+             compressions per tree (mixed heights inject at their level),
+             incl. the FRI commit-phase trees (height halves per round).
+
+    Returns (ntt_butterflies, merkle_hashes); both are exact-shape counts,
+    not measurements — Gops/s = (ntt+hash)/wall/1e9."""
+    cfg = system.config
+    b = cfg.commitment_parameters.log_blowup
+    D = cfg.extension_params.degree
+    ntt = 0
+    hashes = 0
+    lde_heights = []
+    for c, n in zip(system.circuits, heights):
+        if n == 0:
+            continue
+        log_n = n.bit_length() - 1
+        N = n << b
+        log_N = log_n + b
+
+        def commit_cols(w):
+            return w * ((n // 2) * log_n + (N // 2) * log_N)
+
+        q = c.quotient_degree
+        m = n * q
+        ntt += commit_cols(c.main_width)           # stage-1 commit
+        ntt += commit_cols(c.stage2_width)         # stage-2 commit
+        ntt += D * (m // 2) * m.bit_length()       # quotient coset iDFT at m
+        ntt += q * D * (N // 2) * log_N            # quotient LDE (no iDFT)
+        lde_heights.extend([N] * 3)                # 3 trees see this height
+        hashes += 3 * N + N * (c.main_width + c.stage2_width + q * D) // 8
+    if lde_heights:
+        N_max = max(lde_heights)
+        # FRI fold tail: reduced opening at N_max, pair folds halving to the
+        # final size (log_blowup + log_final_poly_len), one tree per round
+        fri = system.config.fri_parameters
+        size = N_max
+        final = 1 << (b + fri.log_final_poly_len)
+        while size > final:
+            ntt += (size // 2) * D
+            hashes += size
+            size //= 2
+    return ntt, hashes
+
+
 def run_case(label: str, config, system, key, traces, claims, iters: int):
     import jax
 
-    from multistark_tpu.profiling import reset_spans, span_times
+    from multistark_tpu.profiling import reset_spans, span_memory, span_times
     from multistark_tpu.prover import prove_multiple_claims
     from multistark_tpu.system import SystemWitness
     from multistark_tpu.verifier import verify_multiple_claims
@@ -160,12 +214,21 @@ def run_case(label: str, config, system, key, traces, claims, iters: int):
         log(f"[{label}] prove[{i}]: {dt:.3f}s  spans: "
             + " ".join(f"{k.split('/')[-1]}={v:.2f}" for k, v in spans.items()))
 
+    ntt_ops, hash_ops = analytic_ops(system, [t.shape[0] for t in traces])
+    mem = {
+        k.split("/", 1)[-1]: {kk: round(vv, 1) for kk, vv in m.items()}
+        for k, m in sorted(span_memory().items())
+    }
     result = {
         "prove_best_s": round(min(times), 4),
         "prove_median_s": round(sorted(times)[len(times) // 2], 4),
         "proof_bytes": len(proof.to_bytes(config)),
         "peak_rss_mib": round(peak_rss_mib(), 1),
+        "ntt_merkle_gops_s": round((ntt_ops + hash_ops) / min(times) / 1e9, 3),
+        "ntt_butterflies": ntt_ops,
+        "merkle_hashes": hash_ops,
         "spans": spans,
+        "span_memory_mib": mem,
     }
     if os.environ.get("BENCH_VERIFY", "1") != "0":
         t0 = time.time()
