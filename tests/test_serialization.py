@@ -75,3 +75,47 @@ class TestSerialization:
             blob = bytes(rng.integers(0, 256, n, dtype=np.uint8))
             with pytest.raises(VerificationError):
                 Proof.from_bytes(blob, system)
+
+    def test_mutation_sweep(self, proved):
+        """~1k-mutant fuzz of the deserialize→verify pipeline (reference
+        verifier.rs:852-912 adversarial family): random single-BIT flips,
+        multi-byte stomps, truncations, extensions, and splices of a valid
+        proof must every one be rejected with VerificationError — never
+        accepted, never an unexpected exception type."""
+        system, proof = proved
+        base = proof.to_bytes()
+        L = len(base)
+        rng = np.random.default_rng(0xF00D)
+
+        def mutants():
+            for _ in range(700):  # single bit flips
+                i = int(rng.integers(0, L))
+                b = bytearray(base)
+                b[i] ^= 1 << int(rng.integers(0, 8))
+                yield bytes(b)
+            for _ in range(100):  # multi-byte stomps
+                i = int(rng.integers(0, L))
+                k = int(rng.integers(1, 9))
+                b = bytearray(base)
+                b[i : i + k] = rng.integers(0, 256, min(k, L - i), dtype=np.uint8).tobytes()
+                yield bytes(b)
+            for _ in range(100):  # truncations
+                yield base[: int(rng.integers(0, L))]
+            for _ in range(50):  # extensions
+                k = int(rng.integers(1, 64))
+                yield base + rng.integers(0, 256, k, dtype=np.uint8).tobytes()
+            for _ in range(50):  # splices (duplicate an internal window)
+                i, j = sorted(int(x) for x in rng.integers(0, L, 2))
+                yield base[:i] + base[j:] if i != j else base[:-1]
+
+        for m_idx, blob in enumerate(mutants()):
+            try:
+                p = Proof.from_bytes(blob, system)
+                verify_multiple_claims(system, [], p)
+            except VerificationError:
+                continue
+            except Exception as e:  # pragma: no cover - the failure we hunt
+                raise AssertionError(
+                    f"mutant {m_idx}: unexpected {type(e).__name__}: {e}"
+                ) from e
+            raise AssertionError(f"mutant {m_idx} accepted")
