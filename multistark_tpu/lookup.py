@@ -336,8 +336,19 @@ def stage_2_traces(
             mats.append(planes)
             accs.append(acc)
             continue
+        from . import parallel
         from .utils import jit_enabled, np_mirrors_enabled
 
+        pm = parallel.current_mesh()
+        if pm is not None and n >= pm.n and n % pm.n == 0:
+            planes, total = parallel.sharded_stage2(
+                F, E, pm, lv.mults, lv.args,
+                ext_scalar(E, beta), ext_scalar(E, gamma), ext_scalar(E, acc),
+            )
+            acc = he.add(acc, tuple(int(x) for x in E.to_np(total)))
+            mats.append(planes)
+            accs.append(acc)
+            continue
         if not jit_enabled() and np_mirrors_enabled() and hf.name in ("Goldilocks", "BabyBear"):
             planes, total_host = _stage2_np(F, E, hf, he, lv, beta, gamma, acc)
             acc = he.add(acc, total_host)

@@ -264,6 +264,110 @@ def sharded_lde_bitrev_from_coeffs(engine, pm: ProverMesh, coeffs_natural, log_b
     return sharded_dif(engine, pm, pad, log_big, inverse=False)
 
 
+# -- sharded stage-2 logUp scan ---------------------------------------------
+
+
+def sharded_stage2(F, E, pm: ProverMesh, mults_list, args_list, beta_d, gamma_d, acc_d):
+    """Row-sharded stage-2 trace construction (lookup._stage2_kernel over a
+    block-sharded row axis; reference src/lookup.rs:472-555 threads the chain
+    serially — here every device scans its own contiguous row block and ONE
+    all_gather of per-device chain totals (mesh-size ext values) stitches the
+    global prefix together.
+
+    The chain order is row-major slot-minor, so a contiguous block of rows is
+    a contiguous run of the global chain: block-local batch inverse (inverses
+    are elementwise-unique, so blocking cannot change a value) + block-local
+    inclusive scan + the gathered exclusive block offset reproduce the exact
+    accumulator values — the proof bytes are identical to the unsharded
+    kernel by modular-arithmetic exactness, not by luck.
+
+    Returns (planes (L·D, n) block-sharded along rows, total ext scalar
+    replicated)."""
+    from .utils import batch_inv, cumsum, field_sum, jit_enabled
+
+    D = E.D
+    L = len(args_list)
+    n = jax.tree.leaves(mults_list[0])[0].shape[0]
+    axis, nd = pm.axis, pm.n
+
+    if not jit_enabled():
+        # eager CPU-mesh policy: the single-device kernel dispatched per-op
+        # on block-sharded columns — GSPMD stitches the cross-block scans
+        # with collectives (a fused XLA:CPU shard_map body of the same math
+        # compiles pathologically; CLAUDE.md).  Values identical either way.
+        from jax.sharding import NamedSharding
+
+        from .lookup import _stage2_kernel
+
+        col_s = NamedSharding(pm.mesh, P(axis))
+        row_s = NamedSharding(pm.mesh, P(None, axis))
+        put = lambda v: jax.tree.map(lambda p: jax.device_put(p, col_s), v)
+        planes, total = _stage2_kernel(
+            F, E, put(mults_list), put(args_list), beta_d, gamma_d, acc_d
+        )
+        planes = jax.tree.map(lambda p: jax.device_put(p, row_s), planes)
+        return planes, total
+
+    def body(mults, args, b, g, a0):
+        n_loc = jax.tree.leaves(mults[0])[0].shape[0]
+        slot_msgs = []
+        for j in range(L):
+            m = E.zeros((n_loc,))
+            for a in reversed(args[j]):
+                m = E.add(E.mul(m, g), E.from_base(a))
+            m = E.add(m, b)
+            slot_msgs.append(m)
+        # chain order: row-major, slot-minor (lookup._stage2_kernel)
+        flat_msgs = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1).reshape(-1), *slot_msgs)
+        flat_mults = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1).reshape(-1), *mults)
+        inv_msgs = batch_inv(E, flat_msgs, axis=0)
+        terms = E.scale(inv_msgs, flat_mults)
+        incl = cumsum(E, terms, axis=0)
+        local_total = jax.tree.map(lambda a: a[-1], incl)
+        # cross-block prefix: every device sees every block total (tiny)
+        gathered = jax.tree.map(
+            lambda s: jax.lax.all_gather(s, axis, tiled=False), local_total
+        )  # ext value of (nd,) planes
+        my = jax.lax.axis_index(axis)
+        pre_mask = jnp.arange(nd) < my
+        offset = field_sum(
+            E, jax.tree.map(lambda a: jnp.where(pre_mask, a, 0), gathered), axis=0
+        )
+        total = field_sum(E, gathered, axis=0)
+        excl = jax.tree.map(
+            lambda a: jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]], axis=0), incl
+        )
+        acc_flat = E.add(E.add(excl, offset), a0)
+        rows = []
+        for j in range(L):
+            for d in range(D):
+                rows.append(jax.tree.map(lambda a: a.reshape(n_loc, L)[:, j], acc_flat[d]))
+        planes = tuple(
+            jnp.stack([r[p] for r in rows], axis=0) for p in range(F.num_planes)
+        )
+        return planes, total
+
+    mesh_key = (tuple(d.id for d in pm.mesh.devices.flat), axis)
+    spec_col = jax.tree.map(lambda _: P(axis), mults_list)
+    spec_args = jax.tree.map(lambda _: P(axis), args_list)
+    spec_scalar = jax.tree.map(lambda _: P(), beta_d)
+    fn = _cached_shard(
+        ("stage2", E.name, mesh_key, L, tuple(len(a) for a in args_list), n),
+        lambda: jax.jit(jax.shard_map(
+            body,
+            mesh=pm.mesh,
+            in_specs=(spec_col, spec_args, spec_scalar, spec_scalar, spec_scalar),
+            out_specs=(
+                jax.tree.map(lambda _: P(None, axis), tuple(range(F.num_planes))),
+                jax.tree.map(lambda _: P(), beta_d),
+            ),
+            check_vma=False,  # `total` is replicated by construction (same
+            # gathered block totals summed on every device)
+        )),
+    )
+    return fn(mults_list, args_list, beta_d, gamma_d, acc_d)
+
+
 # -- sharded Merkle commit --------------------------------------------------
 #
 # No bespoke tree code: MerkleMmcs.commit's kernel is sharding-agnostic, and

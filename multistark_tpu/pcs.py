@@ -276,8 +276,11 @@ class TwoAdicFriPcs:
         return nf, npref.NpExt(nf, self.he)
 
     def _np_eager(self) -> bool:
+        from . import parallel
         from .utils import jit_enabled, np_mirrors_enabled
 
+        if parallel.current_mesh() is not None:
+            return False  # sharded prove: gathering to host would defeat it
         return (
             not jit_enabled()
             and np_mirrors_enabled()
@@ -427,9 +430,15 @@ class TwoAdicFriPcs:
 
     def _reduced_openings(self, rounds, dev_vals, alpha):
         """Step C: reduced openings per LDE height (device, bitrev order).
-        One jitted kernel per matrix: ro contribution for all its points."""
+        One jitted kernel per matrix: ro contribution for all its points.
+        Under an active prover mesh every tall matrix's contribution runs as
+        a shard_map over the block-sharded LDE rows — block-local batch
+        inverses and elementwise folds, zero collectives (see _ro_sharded)."""
+        from . import parallel
+
         if self._np_eager():
             return self._reduced_openings_np(rounds, dev_vals, alpha)
+        pm = parallel.current_mesh()
         E, he = self.E, self.he
         ro: Dict[int, object] = {}
         offsets: Dict[int, int] = {}
@@ -442,12 +451,6 @@ class TwoAdicFriPcs:
                 log_lde = data.log_trace_heights[m_idx] + self.log_blowup
                 alpha_pows = self._host_ext_powers(alpha, w)
                 off = offsets.get(log_lde, 0)
-                kern = cached_jit(
-                    ("pcs_ro", self.F.name, w, log_lde, len(points)),
-                    lambda _ll=log_lde: (
-                        lambda m_, vd, zs, av, aoffs: self._ro_kernel(m_, vd, zs, av, aoffs, _ll)
-                    ),
-                )
                 ap = np.asarray([list(a) for a in alpha_pows], dtype=np.uint64)  # (w, D)
                 alpha_vec = tuple(self.F.from_np(ap[:, d]) for d in range(E.D))
                 zs = tuple(ext_scalar(E, z) for z in points)
@@ -455,11 +458,88 @@ class TwoAdicFriPcs:
                     ext_scalar(E, he.neg(self._ext_pow(alpha, off + k * w)))
                     for k in range(len(points))
                 )
-                contrib = kern(mat, dev_vals[r_idx][m_idx], zs, alpha_vec, aoffs)
+                if pm is not None and (1 << log_lde) >= pm.n:
+                    contrib = self._ro_sharded(
+                        pm, mat, dev_vals[r_idx][m_idx], zs, alpha_vec, aoffs, log_lde
+                    )
+                else:
+                    kern = cached_jit(
+                        ("pcs_ro", self.F.name, w, log_lde, len(points)),
+                        lambda _ll=log_lde: (
+                            lambda m_, vd, zs, av, aoffs: self._ro_kernel(m_, vd, zs, av, aoffs, _ll)
+                        ),
+                    )
+                    contrib = kern(mat, dev_vals[r_idx][m_idx], zs, alpha_vec, aoffs)
                 ro[log_lde] = contrib if log_lde not in ro else E.add(ro[log_lde], contrib)
                 off += w * len(points)
                 offsets[log_lde] = off
         return ro
+
+    def _ro_sharded(self, pm, mat, vals_dev, zs, alpha_vec, aoffs, log_lde: int):
+        """Row-sharded _ro_kernel: the LDE rows are block-sharded (bitrev
+        storage, as the sharded commit leaves them) and every step — the
+        α-weighted column fold, the (z - x) batch inverse (inverses are
+        elementwise-unique, so block-locality cannot change a value), and
+        the point accumulation — is device-local.  No collectives at all;
+        the output reduced opening stays block-sharded for the fold chain,
+        whose pair partners are ADJACENT in bitrev storage and hence also
+        local (SURVEY.md §7.3: no cross-device exchange until the tail)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from . import parallel
+        from .utils import jit_enabled
+
+        E, F, hf = self.E, self.F, self.hf
+        x_full = self.x_table_storage(log_lde, hf.generator)
+        axis = pm.axis
+        npoints = len(zs)
+
+        if not jit_enabled():
+            # eager CPU-mesh policy: per-op dispatch on the block-sharded LDE
+            # (one fused XLA:CPU body compiles pathologically; CLAUDE.md).
+            # x stays replicated so the batch inverse doesn't scan across
+            # shards; every mul against the sharded u keeps the row sharding.
+            row_s = NamedSharding(pm.mesh, P(None, axis))
+            mat = jax.tree.map(lambda p: jax.device_put(p, row_s), mat)
+            return self._ro_kernel(mat, vals_dev, zs, alpha_vec, aoffs, log_lde)
+
+        def body(mat_, x_, vals_, zs_, av_, ao_):
+            coords = []
+            for d in range(E.D):
+                prod = F.mul(mat_, jax.tree.map(lambda a: a[:, None], av_[d]))
+                coords.append(field_sum(F, prod, axis=0))
+            u = tuple(coords)
+            total = None
+            for p in range(npoints):
+                s_p = field_sum(E, E.mul(av_, vals_[p]), axis=0)
+                diff = self._ext_scalar_sub_base(zs_[p], x_)
+                inv_diff = batch_inv(E, diff, axis=0)
+                num = E.sub(u, s_p)
+                contrib = E.mul(E.mul(num, inv_diff), ao_[p])
+                total = contrib if total is None else E.add(total, contrib)
+            return total
+
+        w = jax.tree.leaves(mat)[0].shape[0]
+        mesh_key = (tuple(d.id for d in pm.mesh.devices.flat), axis)
+        kern = parallel._cached_shard(
+            ("pcs_ro_sharded", self.F.name, mesh_key, w, log_lde, npoints),
+            lambda: jax.jit(jax.shard_map(
+                body, mesh=pm.mesh,
+                in_specs=(
+                    jax.tree.map(lambda _: P(None, axis), mat),
+                    jax.tree.map(lambda _: P(axis), x_full),
+                    jax.tree.map(lambda _: P(), vals_dev),
+                    jax.tree.map(lambda _: P(), zs),
+                    jax.tree.map(lambda _: P(), alpha_vec),
+                    jax.tree.map(lambda _: P(), aoffs),
+                ),
+                out_specs=jax.tree.map(
+                    lambda _: P(axis), tuple(tuple(range(F.num_planes)) for _ in range(E.D))
+                ),
+                check_vma=False,
+            )),
+        )
+        return kern(mat, x_full, vals_dev, zs, alpha_vec, aoffs)
 
     def _commit_phase(self, rounds, ro, challenger):
         """Step D: FRI commit phase — fold with per-round β, committing each
@@ -525,6 +605,7 @@ class TwoAdicFriPcs:
     def _commit_phase_host(self, ro, schedule, log_max_ro, challenger):
         """Per-round host-transcript loop (one blocking device_get per
         round): the generic path for any challenger/hasher pair."""
+        from . import parallel
         from .utils import jit_enabled, np_mirrors_enabled
 
         E = self.E
@@ -553,7 +634,12 @@ class TwoAdicFriPcs:
             shift_cur = self._shift_at(log_max_ro, log_size)
             next_log = log_size - a_bits
             absorb = ro.get(next_log) if next_log in ro else None
-            if r + 1 < len(schedule) and not jit_enabled() and np_mirrors_enabled():
+            if (
+                r + 1 < len(schedule)
+                and not jit_enabled()
+                and np_mirrors_enabled()
+                and parallel.current_mesh() is None
+            ):
                 # eager (CPU): fold via the np mirror, commit via mmcs.commit
                 # (its np fast path) — the fused kernel only pays off jitted
                 current = self._fold_absorb(

@@ -248,8 +248,16 @@ def _quotient_chunk_coeffs(
         "transition": F.from_np(sel_np.is_transition),
         "inv_vanishing": F.from_np(sel_np.inv_vanishing),
     }
+    from . import parallel
     from .utils import jit_enabled, np_mirrors_enabled
 
+    pm = parallel.current_mesh()
+    m = n * q
+    if pm is not None and m >= pm.n * pm.n and q <= m // pm.n:
+        return _quotient_chunk_sharded(
+            config, circuit, log_n, q, mats, selectors, beta, gamma, alpha,
+            acc_prev, acc_final, pm,
+        )
     if not jit_enabled() and np_mirrors_enabled() and hf.name in ("Goldilocks", "BabyBear"):
         return _quotient_chunk_np(
             config, circuit, log_n, q, mats, sel_np, beta, gamma, alpha,
@@ -266,6 +274,163 @@ def _quotient_chunk_coeffs(
         ),
     )
     return kern(mats, selectors, pubs, alpha_d)
+
+
+_last_sharded_qmat_spec = None  # test breadcrumb, see _quotient_chunk_sharded
+
+
+def _quotient_chunk_sharded(
+    config, circuit, log_n, q, mats, selectors, beta, gamma, alpha,
+    acc_prev, acc_final, pm,
+):
+    """Row-sharded quotient evaluation (SURVEY.md §7.1 step 10, §7.3): the
+    constraint sweep runs in a shard_map over block-sharded quotient-domain
+    columns; the next-row window (reference src/prover.rs:787-800's
+    vertically_strided pair) becomes a q-element halo exchange — each device
+    ppermutes the first q columns of its block to its predecessor instead of
+    the unsharded jnp.roll.  The in-kernel coset iDFT then runs through the
+    four-step sharded DIF (parallel.sharded_dif).  All arithmetic is exact
+    mod p, so the chunked coefficients — and the proof bytes — are identical
+    to the single-device kernel."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from . import parallel
+    from .utils import ext_scalar as _exts, jit_enabled
+
+    F, E = config.field, config.ext
+    hf = config.host_field
+    ep = config.extension_params
+    D = ep.degree
+    engine = get_engine(F)
+    n = 1 << log_n
+    m = n * q
+    axis, nd = pm.axis, pm.n
+
+    pubs = tuple(_exts(E, v) for v in (beta, gamma, acc_prev, acc_final))
+    alpha_d = _exts(E, alpha)
+
+    def sweep_fold(mats_, sels_, pubs_, alpha_, next_of):
+        """The constraint sweep + α-fold + Z_H division over (blocks of) the
+        quotient domain; `next_of` supplies the next-row-window view of a
+        matrix (jnp.roll single-device / GSPMD-eager; ppermute halo in the
+        fused shard_map body)."""
+        m_here = jax.tree.leaves(sels_["first"])[0].shape[-1]
+        mats_next = {src: next_of(mm) for src, mm in mats_.items()}
+
+        def var_provider(source, col, offset):
+            src = mats_next[source] if offset == 1 else mats_[source]
+            return jax.tree.map(lambda p: p[col], src)
+
+        def publics(idx):
+            return pubs_[idx // D][idx % D]
+
+        alg = DeviceAlgebra(F, var_provider, publics, sels_)
+        buf = sweep(circuit.graph, alg)
+        user_vals = constraint_values(circuit.graph, buf)
+        lvals = graph_lookup_values(circuit.graph, buf)
+        logup_vals = lk.logup_constraint_values(
+            alg, ep, hf, circuit.num_lookups,
+            lambda col, off: var_provider(Source.STAGE2.value, col, off),
+            lvals, sels_["last"], pubs_, log_n,
+        )
+        values = list(user_vals)
+        for lv in logup_vals:
+            values.extend(lv)
+        assert len(values) == circuit.constraint_count
+
+        K = len(values)
+        one = tuple(F.const(1 if d == 0 else 0, ()) for d in range(D))
+
+        def pow_body(acc, _):
+            return E.mul(acc, alpha_), acc
+
+        _, apow_stack = jax.lax.scan(pow_body, one, None, length=K)
+        apows = [
+            tuple(tuple(pl[i] for pl in coord) for coord in apow_stack)
+            for i in range(K)
+        ]
+        coords = [F.const(0, ()) for _ in range(D)]
+        for i, v in enumerate(values):
+            ap = apows[K - 1 - i]
+            v = jax.tree.map(lambda p: jnp.broadcast_to(p, (m_here,)), v)
+            for d in range(D):
+                coords[d] = F.add(coords[d], F.mul(v, ap[d]))
+        coords = [F.mul(c, sels_["inv_vanishing"]) for c in coords]
+        return tuple(
+            jnp.stack([coords[d][p] for d in range(D)], axis=0)
+            for p in range(F.num_planes)
+        )
+
+    if jit_enabled():
+        # ONE fused shard_map body (TPU policy): explicit q-element ppermute
+        # halo for the next-row window, everything else device-local
+        perm = [(i, (i - 1) % nd) for i in range(nd)]
+
+        def halo_next(mat):
+            head = jax.tree.map(lambda p: p[..., :q], mat)
+            halo = jax.tree.map(lambda p: jax.lax.ppermute(p, axis, perm), head)
+            return jax.tree.map(
+                lambda p, h: jnp.concatenate([p[..., q:], h], axis=-1), mat, halo
+            )
+
+        def body(mats_, sels_, pubs_, alpha_):
+            return sweep_fold(mats_, sels_, pubs_, alpha_, halo_next)
+
+        spec_mat = {src: jax.tree.map(lambda _: P(None, axis), mm) for src, mm in mats.items()}
+        spec_sel = {k: jax.tree.map(lambda _: P(axis), v) for k, v in selectors.items()}
+        spec_scalar = jax.tree.map(lambda _: P(), pubs)
+        spec_alpha = jax.tree.map(lambda _: P(), alpha_d)
+        mesh_key = (tuple(d.id for d in pm.mesh.devices.flat), axis)
+        kern = parallel._cached_shard(
+            ("quotient_sweep", circuit.uid, log_n, mesh_key, tuple(sorted(mats))),
+            lambda: jax.jit(jax.shard_map(
+                body, mesh=pm.mesh,
+                in_specs=(spec_mat, spec_sel, spec_scalar, spec_alpha),
+                out_specs=jax.tree.map(lambda _: P(None, axis), tuple(range(F.num_planes))),
+                check_vma=False,
+            )),
+        )
+        qmat = kern(mats, selectors, pubs, alpha_d)  # (D, m) planes, sharded
+    else:
+        # eager CPU-mesh policy: the same math dispatched per-op on
+        # block-sharded operands — GSPMD turns the jnp.roll into the halo
+        # collective-permute and keeps every elementwise op local (one fused
+        # XLA:CPU body would compile pathologically; CLAUDE.md)
+        row_s = NamedSharding(pm.mesh, P(None, axis))
+        col_s = NamedSharding(pm.mesh, P(axis))
+        mats_p = {
+            src: jax.tree.map(lambda p: jax.device_put(p, row_s), mm)
+            for src, mm in mats.items()
+        }
+        sels_p = {
+            k: jax.tree.map(lambda p: jax.device_put(p, col_s), v)
+            for k, v in selectors.items()
+        }
+
+        def roll_next(mat):
+            return jax.tree.map(lambda p: jnp.roll(p, -q, axis=-1), mat)
+
+        qmat = sweep_fold(mats_p, sels_p, pubs, alpha_d, roll_next)
+
+    # test breadcrumb (tests/test_parallel.py asserts the SWEEP itself ran
+    # sharded; the chunk slicing below legitimately reshards)
+    global _last_sharded_qmat_spec
+    _last_sharded_qmat_spec = getattr(
+        jax.tree.leaves(qmat)[0], "sharding", None
+    )
+
+    # coset iDFT at log m through the sharded four-step DIF, then the natural
+    # re-order + 1/m + shift-unscale (engine.icoset_from_natural's tail)
+    log_m = log_n + (q.bit_length() - 1)
+    shift = hf.mul(hf.generator, 1)
+    cb = parallel.sharded_dif(engine, pm, qmat, log_m, inverse=True)
+    coeffs = engine._scale(engine._unbrev(cb, log_m), hf.inv(m % hf.p))
+    coeffs = F.mul(coeffs, engine.pow_table(hf.inv(shift), m))
+    rows = []
+    for i in range(q):
+        for d in range(D):
+            rows.append(jax.tree.map(lambda p: p[d, i * n : (i + 1) * n], coeffs))
+    return tuple(jnp.stack([r[p] for r in rows], axis=0) for p in range(F.num_planes))
 
 
 def _quotient_chunk_np(

@@ -72,9 +72,15 @@ def np_mirrors_enabled() -> bool:
 def batch_inv(ops, x, axis: int = -1):
     # ops.name is required: an id()-keyed fallback would alias recycled ids
     # (CLAUDE.md cache rule) and return a kernel bound to a different ops
-    if not jit_enabled() and np_mirrors_enabled() and not any(
-        isinstance(l, jax.core.Tracer) for l in jax.tree.leaves(x)
-    ):  # never under an explicitly-jitted body (e.g. shard_map kernels)
+    def _plain(l):  # not a tracer, not sharded across devices
+        if isinstance(l, jax.core.Tracer):
+            return False
+        sh = getattr(l, "sharding", None)
+        return sh is None or len(sh.device_set) <= 1
+
+    if not jit_enabled() and np_mirrors_enabled() and all(
+        _plain(l) for l in jax.tree.leaves(x)
+    ):  # never under a jitted body (tracers) nor on mesh-sharded arrays
         out = _np_batch_inv(ops, x)
         if out is not None:
             return out
@@ -129,8 +135,13 @@ def _batch_inv_impl(ops, x, axis: int = -1):
     one = _ones_like(ops, x)
     safe = ops.select(is_zero, one, x)
 
+    # inside any trace (jit, shard_map body) the eager host shortcuts below
+    # would leak tracers into NumPy: take the on-device path unconditionally
+    traced = jit_enabled() or any(
+        isinstance(l, jax.core.Tracer) for l in jax.tree.leaves(x)
+    )
     moved = jax.tree.map(lambda a: jnp.moveaxis(a, axis, 0), safe)
-    if jit_enabled():
+    if traced:
         prefix = jax.lax.associative_scan(ops.mul, moved, axis=0)          # P_i = x0..xi
         suffix = jax.lax.associative_scan(ops.mul, moved, axis=0, reverse=True)  # S_i = xi..x_{n-1}
     else:
@@ -141,7 +152,7 @@ def _batch_inv_impl(ops, x, axis: int = -1):
         prefix = _eager_scan_mul(ops, moved, reverse=False)
         suffix = _eager_scan_mul(ops, moved, reverse=True)
     total = jax.tree.map(lambda a: a[-1:], prefix)
-    if jit_enabled():
+    if traced:
         total_inv = ops.inv(total)
     else:
         # eager: ops.inv is a Fermat ladder (~64 sequential eager muls on a
@@ -257,7 +268,9 @@ def cumsum(ops, x, axis: int = -1):
     Used for the logUp accumulator chain (reference src/lookup.rs:472-555
     threads it serially; we restructure as a parallel prefix sum)."""
     moved = jax.tree.map(lambda a: jnp.moveaxis(a, axis, 0), x)
-    if jit_enabled():
+    if jit_enabled() or any(
+        isinstance(l, jax.core.Tracer) for l in jax.tree.leaves(x)
+    ):
         acc = jax.lax.associative_scan(ops.add, moved, axis=0)
     else:
         # eager: same Hillis-Steele rationale as batch_inv (associative_scan
