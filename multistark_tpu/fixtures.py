@@ -89,13 +89,144 @@ def ntt_vectors() -> dict:
     }
 
 
+def duplex_challenger_vectors() -> dict:
+    """DuplexChallenger (BabyBear/Poseidon2) pins, incl. the two conventions
+    chosen WITHOUT a pinnable p3 reference (documented deviations,
+    docs/STATUS.md §2): observe_bytes feeds ONE byte per field element
+    (challenger.py:309-311), and sample_bits takes the low `bits` of a
+    sampled field element (challenger.py:322-324, same rule as the
+    serializing challenger / p3 CanSampleBits)."""
+    from .challenger import DuplexChallenger
+    from .fields.host import BABYBEAR, BABYBEAR_EXT4
+    from .hash.poseidon2 import permute
+
+    ch = DuplexChallenger(BABYBEAR, BABYBEAR_EXT4, permute)
+    ch.observe_bytes(b"multi-stark/v0")
+    for v in (2, 1, 4, 4):
+        ch.observe_field(v)
+    out = {
+        "sample_field": ch.sample_field(),
+        "sample_ext": list(ch.sample_ext()),
+        "sample_bits_20": ch.sample_bits(20),
+        "sample_bits_1": ch.sample_bits(1),
+        "grind_4_witness": ch.grind(4),
+    }
+    return out
+
+
+def serializing_sample_bits_vectors() -> dict:
+    """sample_bits pins for the production challenger: low-bits of a
+    sampled field element, rejection-free (challenger.py:169-173 ≙ p3
+    SerializingChallenger64 CanSampleBits)."""
+    from .challenger import SerializingChallenger64
+    from .fields.host import GOLDILOCKS, GOLDILOCKS_EXT2
+
+    out = {}
+    for bits in (1, 8, 20, 31):
+        ch = SerializingChallenger64(GOLDILOCKS, GOLDILOCKS_EXT2)
+        ch.observe_bytes(b"sample-bits-pin")
+        out[f"bits_{bits}"] = ch.sample_bits(bits)
+    return out
+
+
+def _tiny_proof():
+    """One fixed tiny prove on the production config (shared by the FRI
+    transcript + serialization fixtures)."""
+    from . import expr as ex
+    from .config import CommitmentParameters, FriParameters
+    from .configs import GoldilocksBlake3Config
+    from .system import CircuitInputs, System, SystemWitness
+
+    config = GoldilocksBlake3Config(
+        CommitmentParameters(log_blowup=2, cap_height=0),
+        FriParameters(
+            log_final_poly_len=0, max_log_arity=1, num_queries=4,
+            commit_proof_of_work_bits=1, query_proof_of_work_bits=1,
+        ),
+    )
+    inputs = CircuitInputs(
+        main_width=3,
+        constraints=[ex.main(0) * ex.main(1) - ex.main(2)],
+        ext_constraints=[],
+        lookups=[],
+    )
+    system, key = System.new(config, [inputs])
+    p = config.host_field.p
+    rng = np.random.default_rng(42)
+    a = rng.integers(0, 1 << 31, 32, dtype=np.uint64)
+    b = rng.integers(0, 1 << 31, 32, dtype=np.uint64)
+    c = (a.astype(object) * b.astype(object)) % p
+    trace = np.stack([a, b, np.asarray(c, np.uint64)], axis=1)
+    witness = SystemWitness.from_stage_1([trace], system, key)
+    proof = system.prove(key, witness)
+    return config, system, key, witness, proof
+
+
+def fri_transcript_vectors() -> dict:
+    """Every Fiat-Shamir draw of one fixed tiny prove, in schedule order —
+    pins the FULL transcript schedule (incl. the commit-phase deviation
+    documented at pcs.py:21-26) so diffing against a Rust-side trace is one
+    comparison.  Regenerate after ANY transcript change."""
+    from .challenger import SerializingChallenger64
+
+    samples: List = []
+    orig_field = SerializingChallenger64.sample_field
+    orig_bits = SerializingChallenger64.sample_bits
+
+    def rec_field(self):
+        v = orig_field(self)
+        samples.append(("field", v))
+        return v
+
+    def rec_bits(self, bits):
+        v = orig_bits(self, bits)
+        samples.append((f"bits{bits}", v))
+        return v
+
+    SerializingChallenger64.sample_field = rec_field
+    SerializingChallenger64.sample_bits = rec_bits
+    try:
+        config, system, key, witness, proof = _tiny_proof()
+    finally:
+        SerializingChallenger64.sample_field = orig_field
+        SerializingChallenger64.sample_bits = orig_bits
+    return {
+        "schedule": [[kind, int(v)] for kind, v in samples],
+        "intermediate_accumulators": [list(map(int, a)) for a in proof.intermediate_accumulators],
+        "final_poly": [list(map(int, c)) for c in proof.fri_proof.final_poly],
+    }
+
+
+def serialization_vectors() -> dict:
+    """Byte-layout pins of the bincode-shaped proof serialization
+    (serialization.py; field order per reference src/prover.rs:202-243):
+    total length, sha256, and the first 128 header bytes of one fixed tiny
+    proof — enough for a future Rust-side byte diff to localize any
+    divergence without rerunning the prover."""
+    import hashlib
+
+    config, system, key, witness, proof = _tiny_proof()
+    data = proof.to_bytes(config)
+    rt = type(proof).from_bytes(data, system)
+    assert rt.to_bytes(config) == data
+    return {
+        "len": len(data),
+        "sha256": hashlib.sha256(data).hexdigest(),
+        "header_128_hex": data[:128].hex(),
+    }
+
+
 def generate() -> dict:
     return {
         "challenger": challenger_vectors(),
+        "serializing_sample_bits": serializing_sample_bits_vectors(),
+        "duplex_challenger": duplex_challenger_vectors(),
         "blake3": blake3_vectors(),
         "merkle": merkle_vectors(),
         "poseidon2": poseidon2_vectors(),
         "ntt": ntt_vectors(),
+        "fri_transcript": fri_transcript_vectors(),
+        "serialization": serialization_vectors(),
     }
 
 
