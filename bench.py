@@ -197,10 +197,18 @@ def run_case(label: str, config, system, key, traces, claims, iters: int):
     jax.block_until_ready(witness.traces[0])
     log(f"[{label}] witness build: {time.time() - t0:.2f}s")
 
-    # warmup (compiles everything; criterion likewise excludes Rust codegen)
+    # warmup (compiles everything; criterion likewise excludes Rust codegen).
+    # Track its per-span memory separately: the process's RSS plateau is
+    # reached HERE (compile + first execution), not in the warm proves.
+    reset_spans()
     t0 = time.time()
     proof = prove_multiple_claims(system, key, witness, claims)
     log(f"[{label}] prove warmup (incl. compile): {time.time() - t0:.2f}s")
+    warm_mem = {
+        k.split("/", 1)[-1]: {kk: round(vv, 1) for kk, vv in m.items()}
+        for k, m in sorted(span_memory().items())
+    }
+    log(f"[{label}] warmup span memory (MiB): " + json.dumps(warm_mem))
 
     times = []
     spans = {}
@@ -229,6 +237,7 @@ def run_case(label: str, config, system, key, traces, claims, iters: int):
         "merkle_hashes": hash_ops,
         "spans": spans,
         "span_memory_mib": mem,
+        "warmup_span_memory_mib": warm_mem,
     }
     if os.environ.get("BENCH_VERIFY", "1") != "0":
         t0 = time.time()
@@ -257,7 +266,13 @@ def main():
         headline_key = f"{msg_kib}KiB"
         metric = f"blake3_hasher_{msg_kib}KiB_prove_wall"
     else:
-        default_sizes = os.environ.get("BENCH_LOG_N", "14")
+        # default sweep: on TPU include the 2^20 headline (the persistent
+        # compile cache makes warmup minutes, not the ~30 min cold compile);
+        # the CPU fallback stays at 2^14 so a tunnel outage still yields a
+        # bounded, clearly-labelled capture
+        default_sizes = os.environ.get(
+            "BENCH_LOG_N", "14,20" if backend == "tpu" else "14"
+        )
         size_list = [
             int(s) for s in os.environ.get("BENCH_SIZES", default_sizes).split(",")
         ]
