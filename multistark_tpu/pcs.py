@@ -292,9 +292,6 @@ class TwoAdicFriPcs:
         p(z) = (z^n - s^n)/(n·s^n) · Σ_i e_i·x_i/(z - x_i) on the stored
         same-shift sub-coset prefix.  Fills dev_vals with (w, D) uint64
         value arrays (consumed by _reduced_openings_np)."""
-        hf, he = self.hf, self.he
-        nf, ne = self._np_field_pair()
-        mulfn = npref.gl_mul if hf.name == "Goldilocks" else npref.bb_mul
         opened: List[List[List[List[ExtVal]]]] = []
         for data, points_list in rounds:
             round_dev: List[object] = []
@@ -305,29 +302,9 @@ class TwoAdicFriPcs:
                     round_vals.append([])
                     continue
                 log_n = data.log_trace_heights[m_idx]
-                n = 1 << log_n
                 m_np = self.F.to_np(data.mmcs_data.mats[m_idx])  # (w, N) bitrev LDE
-                small = m_np[:, :n][:, bit_reverse_indices(log_n)]  # natural, GEN·H_n
-                s = hf.generator
-                g = hf.two_adic_generator(log_n)
-                x = mulfn(np_powers(hf, g, n), np.uint64(s))  # (n,)
-                s_n = hf.pow(s, n)
-                inv_ns = hf.inv(hf.mul(n % hf.p, s_n))
                 mat_dev, mat_vals = [], []
-                for z in points:
-                    diff = ne.sub(ne.of_scalar(z, (n,)), ne.from_base_vec(x))
-                    w_i = ne.scale(ne.batch_inv(diff), x)  # x_i/(z - x_i), (n, D)
-                    zn = z
-                    for _ in range(log_n):
-                        zn = he.mul(zn, zn)
-                    c = he.mul(he.sub(zn, he.from_base(s_n)), he.from_base(inv_ns))
-                    # Σ_i e_i·w_i as w·D vectorized (n,) passes (no (w,n,D)
-                    # broadcast temp)
-                    D = w_i.shape[1]
-                    acc = np.empty((small.shape[0], D), np.uint64)
-                    for d in range(D):
-                        acc[:, d] = nf.sum_axis(nf.mul(small, w_i[None, :, d]), 1)
-                    vals = ne.mul(acc, ne.of_scalar(c))  # (w, D)
+                for vals in self._np_eval_mat(m_np, log_n, points):
                     mat_dev.append(vals)
                     mat_vals.append([tuple(int(c_) for c_ in row) for row in vals])
                 round_dev.append(mat_dev)
@@ -335,6 +312,36 @@ class TwoAdicFriPcs:
             dev_vals.append(round_dev)
             opened.append(round_vals)
         return opened
+
+    def _np_eval_mat(self, m_np, log_n: int, points):
+        """Exact NumPy barycentric evaluation of one stored bitrev LDE at
+        `points`: yields a (w, D) uint64 value array per point (the math of
+        _eval_kernel; shared by the eager mirror and the mesh small-domain
+        path)."""
+        hf, he = self.hf, self.he
+        nf, ne = self._np_field_pair()
+        mulfn = npref.gl_mul if hf.name == "Goldilocks" else npref.bb_mul
+        n = 1 << log_n
+        small = m_np[:, :n][:, bit_reverse_indices(log_n)]  # natural, GEN·H_n
+        s = hf.generator
+        g = hf.two_adic_generator(log_n)
+        x = mulfn(np_powers(hf, g, n), np.uint64(s))  # (n,)
+        s_n = hf.pow(s, n)
+        inv_ns = hf.inv(hf.mul(n % hf.p, s_n))
+        for z in points:
+            diff = ne.sub(ne.of_scalar(z, (n,)), ne.from_base_vec(x))
+            w_i = ne.scale(ne.batch_inv(diff), x)  # x_i/(z - x_i), (n, D)
+            zn = z
+            for _ in range(log_n):
+                zn = he.mul(zn, zn)
+            c = he.mul(he.sub(zn, he.from_base(s_n)), he.from_base(inv_ns))
+            # Σ_i e_i·w_i as w·D vectorized (n,) passes (no (w,n,D)
+            # broadcast temp)
+            D = w_i.shape[1]
+            acc = np.empty((small.shape[0], D), np.uint64)
+            for d in range(D):
+                acc[:, d] = nf.sum_axis(nf.mul(small, w_i[None, :, d]), 1)
+            yield ne.mul(acc, ne.of_scalar(c))  # (w, D)
 
     def _reduced_openings_np(self, rounds, dev_vals, alpha):
         """NumPy mirror of _ro_kernel: per-height accumulation of
@@ -389,6 +396,10 @@ class TwoAdicFriPcs:
         returns the host-side opened values."""
         if self._np_eager():
             return self._claimed_evaluations_np(rounds, dev_vals)
+        from . import parallel
+        from .utils import jit_enabled
+
+        pm = parallel.current_mesh()
         E = self.E
         for data, points_list in rounds:
             round_dev: List[object] = []
@@ -399,6 +410,22 @@ class TwoAdicFriPcs:
                 mat = data.mmcs_data.mats[m_idx]
                 log_n = data.log_trace_heights[m_idx]
                 w = data.mmcs_data.dims[m_idx][0]
+                if pm is not None and not jit_enabled():
+                    # eager CPU-mesh: the claimed evaluations are SMALL-
+                    # domain work (n-sized, 2^-blowup of the LDE) — gather
+                    # the stored prefix and run the exact np math instead of
+                    # dispatching hundreds of eager sharded ops (values are
+                    # identical; the LDE-sized ro/fold stages stay sharded)
+                    pre = jax.tree.map(lambda a: a[:, : 1 << log_n], mat)
+                    m_np = self.F.to_np(pre)
+                    round_dev.append(tuple(
+                        tuple(
+                            self.F.from_np(np.ascontiguousarray(vals[:, d]))
+                            for d in range(E.D)
+                        )
+                        for vals in self._np_eval_mat(m_np, log_n, points)
+                    ))
+                    continue
                 kern = cached_jit(
                     ("pcs_eval", self.F.name, w, log_n, len(points)),
                     lambda _ln=log_n: (
@@ -617,6 +644,13 @@ class TwoAdicFriPcs:
 
         def commit_level(vec, a_bits, log_sz):
             """Commit the arity-slice matrix of `vec` (one kernel)."""
+            if not jit_enabled() and np_mirrors_enabled() and parallel.current_mesh() is not None:
+                # eager CPU-mesh: the per-round tree is sub-LDE-sized —
+                # gather the fold vector and hash through mmcs.commit's
+                # native np path instead of thousands of eager sharded
+                # hash ops (bit-identical; the FOLDS themselves stay
+                # sharded — partners are adjacent in bitrev storage)
+                vec = E.from_np(E.to_np(vec))
             A = 1 << a_bits
             slices = [jax.tree.map(lambda t, j=j: t[j::A], vec) for j in range(A)]
             mat = self._ext_slices_matrix(slices)
@@ -634,12 +668,7 @@ class TwoAdicFriPcs:
             shift_cur = self._shift_at(log_max_ro, log_size)
             next_log = log_size - a_bits
             absorb = ro.get(next_log) if next_log in ro else None
-            if (
-                r + 1 < len(schedule)
-                and not jit_enabled()
-                and np_mirrors_enabled()
-                and parallel.current_mesh() is None
-            ):
+            if r + 1 < len(schedule) and not jit_enabled() and np_mirrors_enabled():
                 # eager (CPU): fold via the np mirror, commit via mmcs.commit
                 # (its np fast path) — the fused kernel only pays off jitted
                 current = self._fold_absorb(
