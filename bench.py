@@ -166,7 +166,7 @@ def analytic_ops(system, heights):
         m = n * q
         ntt += commit_cols(c.main_width)           # stage-1 commit
         ntt += commit_cols(c.stage2_width)         # stage-2 commit
-        ntt += D * (m // 2) * m.bit_length()       # quotient coset iDFT at m
+        ntt += D * (m // 2) * (m.bit_length() - 1)  # quotient coset iDFT at m
         ntt += q * D * (N // 2) * log_N            # quotient LDE (no iDFT)
         lde_heights.extend([N] * 3)                # 3 trees see this height
         hashes += 3 * N + N * (c.main_width + c.stage2_width + q * D) // 8

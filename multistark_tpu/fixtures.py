@@ -129,9 +129,15 @@ def serializing_sample_bits_vectors() -> dict:
     return out
 
 
+_TINY_PROOF_CACHE: list = []
+
+
 def _tiny_proof():
-    """One fixed tiny prove on the production config (shared by the FRI
-    transcript + serialization fixtures)."""
+    """One fixed tiny prove on the production config (computed once; shared
+    by the FRI transcript + serialization fixtures — the transcript recorder
+    must wrap the FIRST call)."""
+    if _TINY_PROOF_CACHE:
+        return _TINY_PROOF_CACHE[0]
     from . import expr as ex
     from .config import CommitmentParameters, FriParameters
     from .configs import GoldilocksBlake3Config
@@ -159,7 +165,8 @@ def _tiny_proof():
     trace = np.stack([a, b, np.asarray(c, np.uint64)], axis=1)
     witness = SystemWitness.from_stage_1([trace], system, key)
     proof = system.prove(key, witness)
-    return config, system, key, witness, proof
+    _TINY_PROOF_CACHE.append((config, system, key, witness, proof))
+    return _TINY_PROOF_CACHE[0]
 
 
 def fri_transcript_vectors() -> dict:

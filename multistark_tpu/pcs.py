@@ -410,7 +410,9 @@ class TwoAdicFriPcs:
                 mat = data.mmcs_data.mats[m_idx]
                 log_n = data.log_trace_heights[m_idx]
                 w = data.mmcs_data.dims[m_idx][0]
-                if pm is not None and not jit_enabled():
+                from .utils import np_mirrors_enabled
+
+                if pm is not None and not jit_enabled() and np_mirrors_enabled():
                     # eager CPU-mesh: the claimed evaluations are SMALL-
                     # domain work (n-sized, 2^-blowup of the LDE) — gather
                     # the stored prefix and run the exact np math instead of

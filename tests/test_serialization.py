@@ -109,6 +109,8 @@ class TestSerialization:
                 yield base[:i] + base[j:] if i != j else base[:-1]
 
         for m_idx, blob in enumerate(mutants()):
+            if blob == base:
+                continue  # a stomp can regenerate the original bytes
             try:
                 p = Proof.from_bytes(blob, system)
                 verify_multiple_claims(system, [], p)
