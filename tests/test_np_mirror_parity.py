@@ -69,3 +69,36 @@ def test_np_mirrors_byte_identical(which, monkeypatch):
     system.verify(proof_jnp)
 
     assert proof_np.to_bytes(config) == proof_jnp.to_bytes(config)
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("MULTISTARK_SLOW"),
+    reason="MULTISTARK_SLOW=1 to enable (the mirrors-off mesh cell compiles "
+    "~5 min of eager SPMD programs on XLA:CPU)",
+)
+def test_mirror_mesh_matrix_byte_identical(monkeypatch):
+    """The full 2x2 invariant (VERDICT r2 #9): {np mirrors on, off} x
+    {mesh, no mesh} all produce the same proof bytes.  Under a mesh the
+    mirrors are bypassed by design for the LDE-sized stages, so the
+    mirrors-off cell additionally forces the eager sharded kernels through
+    the small-domain eval path's fallback.  (The on-mirror mesh cells run
+    in the default suite via tests/test_parallel.py.)"""
+    import jax
+    from jax.sharding import Mesh
+
+    from multistark_tpu import parallel as par
+
+    config = GoldilocksBlake3Config(
+        CommitmentParameters(2, 0), FriParameters(0, 2, 5, 2, 2)
+    )
+    system, key, witness = _build(config, config.host_field.p)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("rows",))
+
+    proofs = {}
+    for mirrors in ("1", "0"):
+        monkeypatch.setenv("MULTISTARK_NP_MIRRORS", mirrors)
+        proofs[(mirrors, "plain")] = system.prove(key, witness).to_bytes(config)
+        with par.use_mesh(mesh):
+            proofs[(mirrors, "mesh")] = system.prove(key, witness).to_bytes(config)
+    vals = set(proofs.values())
+    assert len(vals) == 1, f"matrix cells diverge: { {k: hash(v) for k, v in proofs.items()} }"
