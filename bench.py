@@ -278,11 +278,21 @@ def main():
         ]
         log(f"bench: u32_add+byte_table at {['2^%d' % s for s in size_list]} rows on {backend}")
         sizes = {}
+        ok_sizes = []
         for log_n in size_list:
-            sizes[f"2^{log_n}"] = run_case(
-                f"u32_add/2^{log_n}", *u32_add_case(log_n), iters
-            )
-        headline = max(size_list)
+            try:
+                sizes[f"2^{log_n}"] = run_case(
+                    f"u32_add/2^{log_n}", *u32_add_case(log_n), iters
+                )
+                ok_sizes.append(log_n)
+            except Exception as e:  # the axon remote-compile tunnel drops
+                # long compiles intermittently (Unexpected EOF observed at
+                # 2^18); record the failure but land every size that ran
+                log(f"[u32_add/2^{log_n}] FAILED: {type(e).__name__}: {e}")
+                sizes[f"2^{log_n}"] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+        if not ok_sizes:
+            raise SystemExit(f"all bench sizes failed: {sizes}")
+        headline = max(ok_sizes)
         headline_key = f"2^{headline}"
         metric = f"u32_add_prove_2^{headline}_wall"
 

@@ -418,8 +418,10 @@ class TwoAdicFriPcs:
                     # the stored prefix and run the exact np math instead of
                     # dispatching hundreds of eager sharded ops (values are
                     # identical; the LDE-sized ro/fold stages stay sharded)
+                    from .utils import to_np_global
+
                     pre = jax.tree.map(lambda a: a[:, : 1 << log_n], mat)
-                    m_np = self.F.to_np(pre)
+                    m_np = to_np_global(self.F, pre)
                     round_dev.append(tuple(
                         tuple(
                             self.F.from_np(np.ascontiguousarray(vals[:, d]))
@@ -651,8 +653,11 @@ class TwoAdicFriPcs:
                 # gather the fold vector and hash through mmcs.commit's
                 # native np path instead of thousands of eager sharded
                 # hash ops (bit-identical; the FOLDS themselves stay
-                # sharded — partners are adjacent in bitrev storage)
-                vec = E.from_np(E.to_np(vec))
+                # sharded — partners are adjacent in bitrev storage).
+                # to_np_global keeps this working across PROCESSES.
+                from .utils import to_np_global
+
+                vec = E.from_np(to_np_global(E, vec))
             A = 1 << a_bits
             slices = [jax.tree.map(lambda t, j=j: t[j::A], vec) for j in range(A)]
             mat = self._ext_slices_matrix(slices)
@@ -1071,9 +1076,11 @@ class TwoAdicFriPcs:
     def _final_poly_host(self, current, log_size: int, log_max_ro: int) -> List[ExtVal]:
         """Host iDFT of the remaining (tiny) fold vector -> coefficients.
         Degree < 2^log_final_poly_len for honest provers."""
+        from .utils import to_np_global
+
         he, hf = self.he, self.hf
         n = 1 << log_size
-        vals_np = self.E.to_np(current)  # (n, D) u64, storage order
+        vals_np = to_np_global(self.E, current)  # (n, D) u64, storage order
         evals = [tuple(int(x) for x in vals_np[i]) for i in range(n)]
         # un-bitrev to natural
         nat = [he.zero] * n

@@ -7,6 +7,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def fetch_global(a):
+    """device_get that also works for arrays spanning multiple PROCESSES
+    (jax.distributed): a plain device_get raises on non-addressable shards,
+    so those go through a collective process_allgather — every process must
+    reach this call (true for the prover: all processes run the same host
+    code deterministically)."""
+    if isinstance(a, jax.Array) and not a.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+    return np.asarray(jax.device_get(a))
+
+
+def to_np_global(ops, x):
+    """ops.to_np through fetch_global: multiprocess-safe host fetch of a
+    (possibly cross-process-sharded) field value."""
+    return ops.to_np(jax.tree.map(fetch_global, x))
+
+
 def bit_reverse_indices(log_n: int) -> np.ndarray:
     """Permutation i -> reverse_bits(i, log_n) as a uint32 numpy array
     (host-precomputed; equivalent of p3-util reverse_bits_len)."""
