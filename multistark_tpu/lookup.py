@@ -355,13 +355,29 @@ def stage_2_traces(
             mats.append(planes)
             accs.append(acc)
             continue
-        kern = cached_jit(
-            (E.name, "s2_kernel", L, tuple(len(a) for a in lv.args), n),
-            lambda: lambda mults, args, b, g, a0: _stage2_kernel(F, E, mults, args, b, g, a0),
+        # three cached kernels instead of one fused program: the messages,
+        # the batch inverse, and the scan+extract.  Identical math/values;
+        # the axon remote-compile tunnel drops very long single compiles
+        # (observed: the fused kernel at n=2^18, n·L ≈ 3.4M, died with
+        # Unexpected EOF), and smaller units also retry/cache incrementally.
+        shape_key = (L, tuple(len(a) for a in lv.args), n)
+        kern_m = cached_jit(
+            (E.name, "s2_msgs", *shape_key),
+            lambda: lambda args, mults, b, g: _stage2_msgs(F, E, args, mults, b, g),
         )
-        planes, total = kern(
-            lv.mults, lv.args, ext_scalar(E, beta), ext_scalar(E, gamma), ext_scalar(E, acc)
+        kern_i = cached_jit(
+            (E.name, "s2_inv", *shape_key),
+            lambda: lambda msgs: batch_inv(E, msgs, axis=0),
         )
+        kern_s = cached_jit(
+            (E.name, "s2_scan", *shape_key),
+            lambda: lambda inv, mults, a0: _stage2_scan(F, E, L, inv, mults, a0),
+        )
+        flat_msgs, flat_mults = kern_m(
+            lv.args, lv.mults, ext_scalar(E, beta), ext_scalar(E, gamma)
+        )
+        inv_msgs = kern_i(flat_msgs)
+        planes, total = kern_s(inv_msgs, flat_mults, ext_scalar(E, acc))
         total_np = E.to_np(total)
         acc = he.add(acc, tuple(int(x) for x in total_np))
         mats.append(planes)
@@ -416,23 +432,28 @@ def _stage2_np(F, E, hf, he, lv, beta, gamma, acc):
     return E.base.from_np(mat), total_host
 
 
-def _stage2_kernel(F, E, mults_list, args_list, beta_d, gamma_d, acc_d):
-    """Jitted per-circuit stage-2 computation.  beta/gamma/acc are device ext
-    scalars (arguments, not baked constants)."""
-    D = E.D
-    L = len(mults_list)
+def _stage2_msgs(F, E, args_list, mults_list, beta_d, gamma_d):
+    """Slot messages + row-major slot-minor interleave (the first third of
+    _stage2_kernel, split out for compile-size reasons — see caller)."""
+    L = len(args_list)
     n = jax.tree.leaves(mults_list[0])[0].shape[0]
     slot_msgs = []
     for j in range(L):
         m = E.zeros((n,))
         for a in reversed(args_list[j]):
-            m = E.add(E.mul(m, gamma_d), E.from_base(a))  # scalars broadcast
+            m = E.add(E.mul(m, gamma_d), E.from_base(a))
         m = E.add(m, beta_d)
         slot_msgs.append(m)
-    # chain order: row-major, slot-minor -> interleave via stack(axis=1)
     flat_msgs = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1).reshape(-1), *slot_msgs)
     flat_mults = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1).reshape(-1), *mults_list)
-    inv_msgs = batch_inv(E, flat_msgs, axis=0)
+    return flat_msgs, flat_mults
+
+
+def _stage2_scan(F, E, L, inv_msgs, flat_mults, acc_d):
+    """Terms, prefix scan, accumulator injection, column extraction (the
+    last third of _stage2_kernel)."""
+    D = E.D
+    n = jax.tree.leaves(flat_mults)[0].shape[0] // L
     terms = E.scale(inv_msgs, flat_mults)
     incl = cumsum(E, terms, axis=0)
     excl = jax.tree.map(
@@ -448,3 +469,14 @@ def _stage2_kernel(F, E, mults_list, args_list, beta_d, gamma_d, acc_d):
         jnp.stack([r[p] for r in rows], axis=0) for p in range(F.num_planes)
     )
     return planes, total
+
+
+def _stage2_kernel(F, E, mults_list, args_list, beta_d, gamma_d, acc_d):
+    """Whole per-circuit stage-2 computation (one traceable body — the
+    eager CPU-mesh path and the sharded shard_map body use this; the TPU
+    path compiles the three pieces separately, see stage_2_traces).
+    beta/gamma/acc are device ext scalars (arguments, not baked
+    constants); chain order is row-major, slot-minor."""
+    flat_msgs, flat_mults = _stage2_msgs(F, E, args_list, mults_list, beta_d, gamma_d)
+    inv_msgs = batch_inv(E, flat_msgs, axis=0)
+    return _stage2_scan(F, E, len(args_list), inv_msgs, flat_mults, acc_d)
