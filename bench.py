@@ -247,6 +247,29 @@ def run_case(label: str, config, system, key, traces, claims, iters: int):
     return result
 
 
+def _run_size_subprocess(log_n: int, iters: int) -> dict:
+    """One size in a child `python bench.py` under a hard timeout (default
+    100 min — a cold 2^20 compile through the tunnel needs most of that).
+    Returns the child's per-size result dict."""
+    import subprocess
+
+    timeout_s = int(os.environ.get("BENCH_SIZE_TIMEOUT", "6000"))
+    env = dict(os.environ)
+    env.update(
+        BENCH_SIZES=str(log_n), BENCH_SUBPROC="0", BENCH_ITERS=str(iters)
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, timeout=timeout_s, capture_output=True, text=True,
+    )
+    for line in out.stderr.splitlines():
+        log(line)
+    if out.returncode != 0:
+        raise RuntimeError(f"size subprocess rc={out.returncode}: {out.stderr[-500:]}")
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    return payload["sizes"][f"2^{log_n}"]
+
+
 def main():
     import jax
 
@@ -279,11 +302,23 @@ def main():
         log(f"bench: u32_add+byte_table at {['2^%d' % s for s in size_list]} rows on {backend}")
         sizes = {}
         ok_sizes = []
+        subproc = (
+            os.environ.get("BENCH_SUBPROC", "1" if len(size_list) > 1 else "0")
+            != "0"
+        )
         for log_n in size_list:
             try:
-                sizes[f"2^{log_n}"] = run_case(
-                    f"u32_add/2^{log_n}", *u32_add_case(log_n), iters
-                )
+                if subproc:
+                    # each size in its own watchdogged subprocess: a tunnel
+                    # wedge mid-compile blocks the client FOREVER (observed
+                    # at 2^20 after a remote EOF), and only a process-level
+                    # timeout can cut that loss while the other sizes still
+                    # land.  Compiled programs share the persistent cache.
+                    sizes[f"2^{log_n}"] = _run_size_subprocess(log_n, iters)
+                else:
+                    sizes[f"2^{log_n}"] = run_case(
+                        f"u32_add/2^{log_n}", *u32_add_case(log_n), iters
+                    )
                 ok_sizes.append(log_n)
             except Exception as e:  # the axon remote-compile tunnel drops
                 # long compiles intermittently (Unexpected EOF observed at
