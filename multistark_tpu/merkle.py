@@ -18,6 +18,7 @@ serves Blake3/Goldilocks and Poseidon2/BabyBear configs.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Dict, List, Sequence, Tuple
 
@@ -152,6 +153,12 @@ class MerkleMmcs:
             # thousands of eager jnp round ops; bit-identical (the hasher's
             # np mirrors are pinned against the device kernels)
             layers = self._commit_np(mats, dims)
+        elif max_h >= (1 << int(os.environ.get("MULTISTARK_MMCS_SPLIT_LOG", "20"))):
+            # very tall trees: one program per level instead of one for the
+            # whole tree — the axon remote-compile helper is OOM-killed on
+            # fused whole-tree hash programs over 2^20+ leaves (same
+            # failure class as the NTT split; see ntt.NttEngine._split_log)
+            layers = self._commit_split(mats, dims)
         else:
             key = (
                 "mmcs_commit",
@@ -164,6 +171,54 @@ class MerkleMmcs:
             layers = kern(mats)
         cap = np.asarray(jax.device_get(layers[-1]))
         return cap, MerkleProverData(mats=list(mats), dims=dims, layers=layers, log_max=log_max)
+
+    def _commit_split(self, mats, dims) -> List[jnp.ndarray]:
+        """_commit_impl with one cached program per tree level (leaf hash /
+        compress / compress+inject).  Identical values; programs are keyed
+        by (hasher, level shapes) so FRI rounds and matrices of equal
+        heights share them."""
+        from .utils import cached_jit
+
+        hname = (
+            type(self.hasher).__name__,
+            getattr(self.hasher, "F", None).__class__.__name__,
+        )
+        heights = sorted({h for _, h in dims}, reverse=True)
+        max_h = heights[0]
+        by_height = {h: [m for m, (w, mh) in zip(mats, dims) if mh == h] for h in heights}
+
+        def jit_hash(ms, sig):
+            k = cached_jit(
+                ("mmcs_hash", *hname, sig),
+                lambda: lambda ms_: self.hasher.hash_matrices(ms_),
+            )
+            return k(ms)
+
+        def sig_of(h):
+            return tuple((w, mh) for w, mh in dims if mh == h)
+
+        layer = jit_hash(by_height[max_h], sig_of(max_h))
+        layers = [layer]
+        size = max_h
+        while size > (1 << self.cap_height):
+            size >>= 1
+            if size in by_height:
+                k = cached_jit(
+                    ("mmcs_level_inj", *hname, size, sig_of(size)),
+                    lambda: lambda l, ms_: self.hasher.compress(
+                        self.hasher.compress(l[0::2], l[1::2]),
+                        self.hasher.hash_matrices(ms_),
+                    ),
+                )
+                layer = k(layer, by_height[size])
+            else:
+                k = cached_jit(
+                    ("mmcs_level", *hname, size),
+                    lambda: lambda l: self.hasher.compress(l[0::2], l[1::2]),
+                )
+                layer = k(layer)
+            layers.append(layer)
+        return layers
 
     def _commit_np(self, mats, dims) -> List[np.ndarray]:
         """NumPy mirror of _commit_impl (same layer layout/values)."""

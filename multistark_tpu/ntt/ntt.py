@@ -73,6 +73,9 @@ class NttEngine:
         # program per (shape, log_n) serves forward/inverse and every proof
         self._dit_j = jax.jit(lambda x, tw: self._dit_impl(x, tw))
         self._dif_j = jax.jit(lambda x, tw: self._dif_impl(x, tw))
+        # per-stage programs for large transforms (see _split_log)
+        self._dit_stage_j = jax.jit(lambda x, t: self._dit_stage(x, t))
+        self._dif_stage_j = jax.jit(lambda x, t: self._dif_stages(x, (t,)))
 
     # -- caches -----------------------------------------------------------
     def _twiddles(self, log_n: int, inverse: bool) -> list:
@@ -207,52 +210,79 @@ class NttEngine:
         return x
 
     # -- core butterfly passes -------------------------------------------
+    @staticmethod
+    def _split_log() -> int:
+        """Transforms of size >= 2^this run as per-stage jits instead of one
+        fused program: the axon remote-compile helper gets OOM-KILLED on
+        fused 20+-stage butterfly programs over 2^20+-element tensors
+        (observed SIGKILL at LDE 2^20-2^21); per-stage programs are tiny and
+        also cache/retry incrementally.  Identical math either way."""
+        import os
+
+        return int(os.environ.get("MULTISTARK_NTT_SPLIT_LOG", "20"))
+
     def _dit(self, x, log_n: int, inverse: bool):
         from ..utils import jit_enabled
 
         if self._np_eager_ok(x):
             return self.F.from_np(self._dit_np(self.F.to_np(x), log_n, inverse))
-        fn = self._dit_j if jit_enabled() else self._dit_impl
-        return fn(x, tuple(self._twiddles(log_n, inverse)))
+        if not jit_enabled():
+            return self._dit_impl(x, tuple(self._twiddles(log_n, inverse)))
+        tw = tuple(self._twiddles(log_n, inverse))
+        if log_n >= self._split_log():
+            for t in tw:  # ascending stage order
+                x = self._dit_stage_j(x, t)
+            return x
+        return self._dit_j(x, tw)
 
     def _dif(self, x, log_n: int, inverse: bool):
         from ..utils import jit_enabled
 
         if self._np_eager_ok(x):
             return self.F.from_np(self._dif_np(self.F.to_np(x), log_n, inverse))
-        fn = self._dif_j if jit_enabled() else self._dif_impl
-        return fn(x, tuple(self._twiddles(log_n, inverse)))
+        if not jit_enabled():
+            return self._dif_impl(x, tuple(self._twiddles(log_n, inverse)))
+        tw = tuple(self._twiddles(log_n, inverse))
+        if log_n >= self._split_log():
+            for t in reversed(tw):  # descending stage order (DIF)
+                x = self._dif_stage_j(x, t)
+            return x
+        return self._dif_j(x, tw)
 
     # NOTE: all butterfly arithmetic happens on FLAT 1-D plane arrays; shapes
     # are only touched by reshape/stack (layout ops).  Elementwise ops on
     # arrays with a tiny minor dimension (the early stages' pair axis) make
     # XLA:CPU codegen time explode, and waste TPU lanes — flat is fast on
     # both.
+    def _dit_stage(self, x, t):
+        """One DIT butterfly stage; geometry derives from the twiddle table
+        length (half = len(t)), mirroring _dif_stages."""
+        F = self.F
+        half = jax.tree.leaves(t)[0].shape[-1]
+        m = 2 * half
+        lead = jax.tree.leaves(x)[0].shape[:-1]
+        n = jax.tree.leaves(x)[0].shape[-1]
+        groups = int(np.prod(lead, dtype=np.int64)) if lead else 1
+        k = groups * (n // m)
+        xr = jax.tree.map(lambda a: a.reshape(k, 2, half), x)
+        a = jax.tree.map(lambda v: v[:, 0, :].reshape(-1), xr)
+        b = jax.tree.map(lambda v: v[:, 1, :].reshape(-1), xr)
+        twf = jax.tree.map(lambda tt: jnp.broadcast_to(tt, (k, half)).reshape(-1), t)
+        tv = F.mul(b, twf)
+        lo = F.add(a, tv)
+        hi = F.sub(a, tv)
+        return jax.tree.map(
+            lambda p, q: jnp.stack(
+                [p.reshape(k, half), q.reshape(k, half)], axis=1
+            ).reshape(lead + (n,)),
+            lo,
+            hi,
+        )
+
     def _dit_impl(self, x, tw):
         """DIT stages: bit-reversed input -> natural output."""
-        F = self.F
-        log_n = len(tw)
-        n = 1 << log_n
-        lead = jax.tree.leaves(x)[0].shape[:-1]
-        groups = int(np.prod(lead, dtype=np.int64)) if lead else 1
-        for s in range(1, log_n + 1):
-            m = 1 << s
-            half = m >> 1
-            k = groups * (n // m)
-            xr = jax.tree.map(lambda a: a.reshape(k, 2, half), x)
-            a = jax.tree.map(lambda v: v[:, 0, :].reshape(-1), xr)
-            b = jax.tree.map(lambda v: v[:, 1, :].reshape(-1), xr)
-            twf = jax.tree.map(lambda t: jnp.broadcast_to(t, (k, half)).reshape(-1), tw[s - 1])
-            t = F.mul(b, twf)
-            lo = F.add(a, t)
-            hi = F.sub(a, t)
-            x = jax.tree.map(
-                lambda p, q: jnp.stack(
-                    [p.reshape(k, half), q.reshape(k, half)], axis=1
-                ).reshape(lead + (n,)),
-                lo,
-                hi,
-            )
+        for t in tw:  # ascending stage order
+            x = self._dit_stage(x, t)
         return x
 
     def _dif_impl(self, x, tw):

@@ -47,6 +47,16 @@ from .utils import batch_inv, bit_reverse_indices, cached_jit, ext_scalar, field
 ExtVal = Tuple[int, ...]  # host extension element
 
 
+def _compile_split_log() -> int:
+    """Sizes >= 2^this switch fused prover programs (fold+tree rounds,
+    quotient sweep+iDFT) to split per-step programs: the axon remote-compile
+    helper is OOM-killed (SIGKILL) on fused programs over 2^20+-element
+    tensors.  Shares the NTT's knob so one env var moves every threshold."""
+    from .ntt import NttEngine
+
+    return NttEngine._split_log()
+
+
 @dataclass
 class PcsProverData:
     mmcs_data: MerkleProverData
@@ -608,7 +618,13 @@ class TwoAdicFriPcs:
             return [], [], [], final_poly, query_pow, indices, [], log_max, log_max_ro
 
         result = None
-        if self._device_transcript_eligible(challenger):
+        if log_max_ro >= _compile_split_log():
+            # huge folds: the device-transcript round kernels fuse the whole
+            # next-level tree — too big for the remote compile helper at
+            # 2^20+ (it gets OOM-killed); take the host path, whose rounds
+            # split into fold + per-level tree programs at this size
+            pass
+        elif self._device_transcript_eligible(challenger):
             result = self._commit_phase_device(
                 ro, schedule, log_max_ro, challenger
             )
@@ -681,6 +697,21 @@ class TwoAdicFriPcs:
                 current = self._fold_absorb(
                     current, ext_scalar(E, beta), absorb, log_size, a_bits, shift_cur
                 )
+                cap, mdata = commit_level(current, schedule[r + 1], next_log)
+                caps.append(cap)
+                commit_datas.append(mdata)
+            elif r + 1 < len(schedule) and log_size >= _compile_split_log():
+                # huge rounds: separate fold kernel + split-tree commit (the
+                # remote compile helper is OOM-killed on the fused
+                # fold+whole-tree program at 2^20+; see ntt._split_log)
+                kern = cached_jit(
+                    ("fri_fold", self.E.name, log_size, a_bits, shift_cur % self.hf.p,
+                     absorb is not None),
+                    lambda _ls=log_size, _ab=a_bits, _sc=shift_cur: (
+                        lambda cur, bd, ab_: self._fold_absorb(cur, bd, ab_, _ls, _ab, _sc)
+                    ),
+                )
+                current = kern(current, ext_scalar(E, beta), absorb)
                 cap, mdata = commit_level(current, schedule[r + 1], next_log)
                 caps.append(cap)
                 commit_datas.append(mdata)

@@ -267,6 +267,31 @@ def _quotient_chunk_coeffs(
     pubs = tuple(ext_scalar(E, v) for v in (beta, gamma, acc_prev, acc_final))
     alpha_d = ext_scalar(E, alpha)
 
+    from .ntt import NttEngine
+
+    if m >= (1 << NttEngine._split_log()):
+        # large quotient domains: one program for the sweep, the coset iDFT
+        # dispatched per stage OUTSIDE it, slicing eager — the remote
+        # compile helper is OOM-killed on the fully-fused program at
+        # m >= ~2^21 (see ntt.NttEngine._split_log)
+        engine = get_engine(F)
+        D = config.extension_params.degree
+        kern = cached_jit(
+            ("quotient_sweep", circuit.uid, log_n),
+            lambda: lambda m_, s_, p_, a_: _quotient_sweep_only(
+                config, circuit, log_n, q, m_, s_, p_, a_
+            ),
+        )
+        qmat = kern(mats, selectors, pubs, alpha_d)
+        log_m = log_n + (q.bit_length() - 1)
+        shift = config.host_field.mul(config.host_field.generator, 1)
+        coeffs = engine.icoset_from_natural(qmat, log_m, shift)
+        rows = []
+        for i in range(q):
+            for d in range(D):
+                rows.append(jax.tree.map(lambda p: p[d, i * n : (i + 1) * n], coeffs))
+        return tuple(jnp.stack([r[p] for r in rows], axis=0) for p in range(F.num_planes))
+
     kern = cached_jit(
         ("quotient", circuit.uid, log_n),
         lambda: lambda m_, s_, p_, a_: _quotient_kernel(
@@ -509,11 +534,29 @@ def _quotient_chunk_np(
 
 
 def _quotient_kernel(config, circuit, log_n, q, mats, selectors, pubs, alpha_d):
+    """Fused: sweep + α-fold + Z_H division + coset iDFT + chunk slicing."""
+    F = config.field
+    hf = config.host_field
+    D = config.extension_params.degree
+    engine = get_engine(F)
+    n = 1 << log_n
+    qmat = _quotient_sweep_only(config, circuit, log_n, q, mats, selectors, pubs, alpha_d)
+    shift = hf.mul(hf.generator, 1)
+    coeffs = engine.icoset_from_natural(qmat, log_n + (q.bit_length() - 1), shift)
+    rows = []
+    for i in range(q):
+        for d in range(D):
+            rows.append(jax.tree.map(lambda p: p[d, i * n : (i + 1) * n], coeffs))
+    return tuple(jnp.stack([r[p] for r in rows], axis=0) for p in range(F.num_planes))
+
+
+def _quotient_sweep_only(config, circuit, log_n, q, mats, selectors, pubs, alpha_d):
+    """The constraint sweep + α-fold + Z_H division on the quotient domain,
+    returning the (D, m) composition planes (natural order)."""
     F, E = config.field, config.ext
     hf = config.host_field
     ep = config.extension_params
     D = ep.degree
-    engine = get_engine(F)
     n = 1 << log_n
     m = n * q
     roll = q  # next-row step on the quotient domain (g_n = G_m^q)
@@ -568,15 +611,6 @@ def _quotient_kernel(config, circuit, log_n, q, mats, selectors, pubs, alpha_d):
         for d in range(D):
             coords[d] = F.add(coords[d], F.mul(v, ap[d]))
     coords = [F.mul(c, selectors["inv_vanishing"]) for c in coords]
-
-    # iDFT on the quotient coset -> Q coefficients; slice into q chunks
-    shift = hf.mul(hf.generator, 1)
-    qmat = tuple(
+    return tuple(
         jnp.stack([coords[d][p] for d in range(D)], axis=0) for p in range(F.num_planes)
     )
-    coeffs = engine.icoset_from_natural(qmat, log_n + (q.bit_length() - 1), shift)
-    rows = []
-    for i in range(q):
-        for d in range(D):
-            rows.append(jax.tree.map(lambda p: p[d, i * n : (i + 1) * n], coeffs))
-    return tuple(jnp.stack([r[p] for r in rows], axis=0) for p in range(F.num_planes))
