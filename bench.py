@@ -289,12 +289,14 @@ def main():
         headline_key = f"{msg_kib}KiB"
         metric = f"blake3_hasher_{msg_kib}KiB_prove_wall"
     else:
-        # default sweep: on TPU include the 2^20 headline (the persistent
-        # compile cache makes warmup minutes, not the ~30 min cold compile);
-        # the CPU fallback stays at 2^14 so a tunnel outage still yields a
+        # default sweep: on TPU include 2^18 (the largest size that fits the
+        # chip today — 2^20 is blocked by the Merkle digest layers' (h, 8)
+        # minor-dim tile padding, 16x memory at 2^22 leaves; see
+        # docs/STATUS.md §Known gaps for the planned plane-layout fix); the
+        # CPU fallback stays at 2^14 so a tunnel outage still yields a
         # bounded, clearly-labelled capture
         default_sizes = os.environ.get(
-            "BENCH_LOG_N", "14,20" if backend == "tpu" else "14"
+            "BENCH_LOG_N", "14,18" if backend == "tpu" else "14"
         )
         size_list = [
             int(s) for s in os.environ.get("BENCH_SIZES", default_sizes).split(",")
