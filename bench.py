@@ -327,12 +327,22 @@ def main():
                 # 2^18); record the failure but land every size that ran
                 log(f"[u32_add/2^{log_n}] FAILED: {type(e).__name__}: {e}")
                 sizes[f"2^{log_n}"] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+            if ok_sizes:
+                # emit the result line NOW, after every completed size, so a
+                # harness timeout mid-sweep (a cold 2^18 compile is ~tens of
+                # minutes through the tunnel; BENCH_r03 was killed there with
+                # no JSON captured) still leaves the latest complete capture
+                # on stdout — consumers take the last line
+                headline = max(ok_sizes)
+                _emit(f"u32_add_prove_2^{headline}_wall", f"2^{headline}",
+                      backend, sizes)
         if not ok_sizes:
             raise SystemExit(f"all bench sizes failed: {sizes}")
-        headline = max(ok_sizes)
-        headline_key = f"2^{headline}"
-        metric = f"u32_add_prove_2^{headline}_wall"
+        return
+    _emit(metric, headline_key, backend, sizes)
 
+
+def _emit(metric: str, headline_key: str, backend: str, sizes: dict):
     print(
         json.dumps(
             {
@@ -348,7 +358,8 @@ def main():
                 ),
                 "sizes": sizes,
             }
-        )
+        ),
+        flush=True,
     )
 
 

@@ -222,14 +222,22 @@ def _dg(st, a, b, c, d, mx, my):
 def compress_batch(cv, block, counter_lo, counter_hi, block_len, flags):
     """Batched compression.  cv: list of 8 u32 arrays; block: list of 16;
     counter/block_len/flags: scalars or broadcastable u32 arrays.
-    Returns the 8-word output chaining value (list of arrays)."""
+    Returns the 8-word output chaining value (list of arrays).
+
+    The 7 rounds run under lax.scan: each round applies the SAME static
+    message permutation, so the scan body traces once (~115 ops) instead of
+    unrolling ~800 ops per compression — a whole-tree Merkle kernel's trace
+    and compile shrink ~7x (the cold-compile and trace-time hot spot,
+    docs/STATUS.md round 4)."""
     z = jnp.zeros_like(cv[0])
-    st = list(cv) + [
+    st = [jnp.broadcast_to(x, z.shape).astype(u32) for x in cv] + [
         z + np.uint32(IV[0]), z + np.uint32(IV[1]), z + np.uint32(IV[2]), z + np.uint32(IV[3]),
         z + counter_lo, z + counter_hi, z + block_len, z + flags,
     ]
-    m = list(block)
-    for _ in range(7):
+    m = [jnp.broadcast_to(x, z.shape).astype(u32) for x in block]
+
+    def round_body(carry, _):
+        st, m = list(carry[0]), list(carry[1])
         _dg(st, 0, 4, 8, 12, m[0], m[1])
         _dg(st, 1, 5, 9, 13, m[2], m[3])
         _dg(st, 2, 6, 10, 14, m[4], m[5])
@@ -238,7 +246,9 @@ def compress_batch(cv, block, counter_lo, counter_hi, block_len, flags):
         _dg(st, 1, 6, 11, 12, m[10], m[11])
         _dg(st, 2, 7, 8, 13, m[12], m[13])
         _dg(st, 3, 4, 9, 14, m[14], m[15])
-        m = [m[p] for p in MSG_PERM]
+        return (tuple(st), tuple(m[p] for p in MSG_PERM)), None
+
+    (st, _), _ = jax.lax.scan(round_body, (tuple(st), tuple(m)), None, length=7)
     return [st[i] ^ st[i + 8] for i in range(8)]
 
 
@@ -262,40 +272,52 @@ class Blake3Device:
     def _hash_words_impl(words: jnp.ndarray) -> jnp.ndarray:
         """words: (B, W) uint32 (the W*4-byte message for each lane).
         Returns digests (B, 8) uint32."""
-        B, W = words.shape
+        W = words.shape[1]
+        out = Blake3Device.hash_word_cols([words[:, i] for i in range(W)])
+        return jnp.stack(out, axis=1)
+
+    @staticmethod
+    def hash_word_cols(cols: Sequence[jnp.ndarray]):
+        """Plane-native full BLAKE3: cols is a list of W same-shape 1-D u32
+        arrays (word i of every lane's W*4-byte message).  Returns the
+        digests as a TUPLE of 8 1-D u32 arrays (digest planes).
+
+        This structure-of-arrays form is the TPU-friendly layout: a (B, 8)
+        digest array gets its minor dim padded to the 128-lane tile (16x
+        physical memory — the round-3 2^20 Merkle blocker, docs/STATUS.md);
+        1-D planes pad by at most one tile total."""
+        W = len(cols)
         n_bytes = W * 4
         n_chunks = max(1, (n_bytes + CHUNK_LEN - 1) // CHUNK_LEN)
         if n_chunks == 1:
-            return Blake3Device._hash_single_chunk(words, n_bytes, root=True)
-        # pad to whole chunks, view as (B, n_chunks, 256 words)
-        pad_w = n_chunks * 256 - W
-        padded = jnp.concatenate([words, jnp.zeros((B, pad_w), u32)], axis=1)
-        chunks = padded.reshape(B, n_chunks, 256)
-        chunk_bytes = [min(CHUNK_LEN, n_bytes - c * CHUNK_LEN) for c in range(n_chunks)]
+            return tuple(
+                Blake3Device._chunk_cv_cols(cols, n_bytes, root=True)
+            )
+        z = jnp.zeros_like(cols[0])
+        padded = list(cols) + [z] * (n_chunks * 256 - W)
         cvs = []  # per-chunk cv: list of 8 arrays (B,)
         for c in range(n_chunks):
             cvs.append(
-                Blake3Device._hash_single_chunk(
-                    chunks[:, c, :], chunk_bytes[c], root=False, counter=c
+                Blake3Device._chunk_cv_cols(
+                    padded[c * 256 : (c + 1) * 256],
+                    min(CHUNK_LEN, n_bytes - c * CHUNK_LEN),
+                    root=False,
+                    counter=c,
                 )
             )
-        digests = [[cv[i] for i in range(8)] for cv in cvs]
-        root_cv = Blake3Device._tree(digests, is_root=True)
-        return jnp.stack(root_cv, axis=1)
+        return tuple(Blake3Device._tree(cvs, is_root=True))
 
     @staticmethod
-    def _hash_single_chunk(words, n_bytes: int, root: bool, counter: int = 0):
-        """words: (B, 256) (or (B, <=256)); returns cv as (B,8) array if root
-        chunk of a 1-chunk hash, else list of 8 arrays."""
-        B = words.shape[0]
+    def _chunk_cv_cols(cols, n_bytes: int, root: bool, counter: int = 0):
+        """One chunk (≤1024 bytes) over word columns; returns list of 8 cv
+        planes."""
         n_blocks = max(1, (n_bytes + BLOCK_LEN - 1) // BLOCK_LEN)
-        if words.shape[1] < n_blocks * 16:
-            words = jnp.concatenate(
-                [words, jnp.zeros((B, n_blocks * 16 - words.shape[1]), u32)], axis=1
-            )
-        cv = [jnp.full((B,), np.uint32(IV[i]), u32) for i in range(8)]
+        if len(cols) < n_blocks * 16:
+            z = jnp.zeros_like(cols[0])
+            cols = list(cols) + [z] * (n_blocks * 16 - len(cols))
+        cv = [jnp.full(cols[0].shape, np.uint32(IV[i]), u32) for i in range(8)]
         for b in range(n_blocks):
-            block = [words[:, 16 * b + i] for i in range(16)]
+            block = cols[16 * b : 16 * b + 16]
             flags = 0
             blen = min(BLOCK_LEN, n_bytes - b * BLOCK_LEN)
             if b == 0:
@@ -308,8 +330,6 @@ class Blake3Device:
                 cv, block, np.uint32(counter & _M32), np.uint32(counter >> 32),
                 np.uint32(blen), np.uint32(flags),
             )
-        if root:
-            return jnp.stack(cv, axis=1)
         return cv
 
     @staticmethod
@@ -340,13 +360,25 @@ class Blake3Device:
     @staticmethod
     def _compress_pairs_impl(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
         """Merkle 2-to-1: blake3(left||right) for (B, 8)+(B, 8) -> (B, 8)."""
-        block = [left[:, i] for i in range(8)] + [right[:, i] for i in range(8)]
-        cv = [jnp.full((left.shape[0],), np.uint32(IV[i]), u32) for i in range(8)]
-        out = compress_batch(
-            cv, block, np.uint32(0), np.uint32(0), np.uint32(BLOCK_LEN),
-            np.uint32(CHUNK_START | CHUNK_END | ROOT),
+        out = Blake3Device.compress_planes(
+            tuple(left[:, i] for i in range(8)),
+            tuple(right[:, i] for i in range(8)),
         )
         return jnp.stack(out, axis=1)
+
+    @staticmethod
+    def compress_planes(left, right):
+        """Plane-native Merkle 2-to-1: left/right are tuples of 8 1-D u32
+        digest planes; returns a tuple of 8 planes (see hash_word_cols for
+        why planes, not (B, 8))."""
+        block = list(left) + list(right)
+        cv = [jnp.full(block[0].shape, np.uint32(IV[i]), u32) for i in range(8)]
+        return tuple(
+            compress_batch(
+                cv, block, np.uint32(0), np.uint32(0), np.uint32(BLOCK_LEN),
+                np.uint32(CHUNK_START | CHUNK_END | ROOT),
+            )
+        )
 
 
 _hash_words_jit = jax.jit(Blake3Device._hash_words_impl)

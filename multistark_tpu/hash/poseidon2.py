@@ -335,8 +335,9 @@ class Poseidon2Device:
 class Poseidon2FieldHasher:
     """MMCS hasher pair for BabyBear matrices: leaf = padding-free sponge
     over the concatenated row values; compress = truncated permutation.
-    Digests are CANONICAL uint32 (n, 8) arrays, so Merkle layers, caps, and
-    challenger observation are Montgomery-free at the interface."""
+    Digests are tuples of 8 CANONICAL uint32 (n,) planes (SoA, shared with
+    Blake3FieldHasher), so Merkle layers, caps, and challenger observation
+    are Montgomery-free at the interface."""
 
     digest_words = 8
 
@@ -345,7 +346,7 @@ class Poseidon2FieldHasher:
         self.perm = Poseidon2Device(F)
 
     # -- device ----------------------------------------------------------
-    def hash_matrices(self, mats) -> jnp.ndarray:
+    def hash_matrices(self, mats):
         n = jax.tree.leaves(mats[0])[0].shape[-1]
         cols = []
         for m in mats:
@@ -359,17 +360,18 @@ class Poseidon2FieldHasher:
             state = self.perm.permute(state)
         return self._digests_to_canonical(state[:OUT])
 
-    def compress(self, left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
-        state = [self._from_canonical(left[:, i]) for i in range(8)] + [
-            self._from_canonical(right[:, i]) for i in range(8)
+    def compress(self, left, right):
+        """left/right: tuples of 8 canonical-u32 (n,) digest planes (the SoA
+        layout shared with Blake3FieldHasher — see merkle.MerkleProverData)."""
+        state = [self._from_canonical(p) for p in left] + [
+            self._from_canonical(p) for p in right
         ]
         out = self.perm.permute(state)
         return self._digests_to_canonical(out[:OUT])
 
-    def _digests_to_canonical(self, elems) -> jnp.ndarray:
+    def _digests_to_canonical(self, elems):
         # Montgomery -> canonical on device: REDC(x̄) = x̄·R^{-1} = x
-        outs = [self.F._redc(e[0], jnp.zeros_like(e[0])) for e in elems]
-        return jnp.stack(outs, axis=1)
+        return tuple(self.F._redc(e[0], jnp.zeros_like(e[0])) for e in elems)
 
     def _from_canonical(self, col: jnp.ndarray):
         # canonical -> Montgomery: multiply by R^2

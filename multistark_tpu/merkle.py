@@ -41,18 +41,21 @@ class Blake3FieldHasher:
         assert F.num_planes == 2, "Blake3FieldHasher serializes u64 fields"
 
     # -- device ----------------------------------------------------------
-    def hash_matrices(self, mats) -> jnp.ndarray:
+    def hash_matrices(self, mats):
         """mats: list of field matrices, planes shaped (w, n), all same n.
-        Returns (n, 8) digests of each row's concatenated u64-LE words."""
-        parts = []
+        Returns the row digests of the concatenated u64-LE words as a tuple
+        of 8 1-D (n,) u32 planes (SoA — a (n, 8) array would be tile-padded
+        16x on TPU; see Blake3Device.hash_word_cols)."""
+        cols = []
         for lo, hi in mats:
-            interleaved = jnp.stack([lo, hi], axis=-1)  # (w, n, 2)
-            parts.append(jnp.transpose(interleaved, (1, 0, 2)).reshape(interleaved.shape[1], -1))
-        words = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
-        return Blake3Device.hash_words(words)
+            for c in range(lo.shape[0]):
+                cols.append(lo[c])
+                cols.append(hi[c])
+        return Blake3Device.hash_word_cols(cols)
 
-    def compress(self, left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
-        return Blake3Device.compress_pairs(left, right)
+    def compress(self, left, right):
+        """left/right: tuples of 8 (n,) u32 digest planes -> same."""
+        return Blake3Device.compress_planes(left, right)
 
     # -- host ------------------------------------------------------------
     def host_hash_rows(self, rows: Sequence[Sequence[int]]) -> np.ndarray:
@@ -83,13 +86,27 @@ class Blake3FieldHasher:
         return out if out is not None else np_compress_pairs(left, right)
 
 
+def digest_planes_to_np(layer) -> np.ndarray:
+    """A digest layer (tuple of 8 (h,) planes, device or host) -> (h, 8)
+    uint32 numpy in digest-word order."""
+    return np.stack([np.asarray(p) for p in jax.device_get(list(layer))], axis=1)
+
+
+def digest_planes_words(layer) -> jnp.ndarray:
+    """A device digest layer -> flat u32 word vector in the serialization
+    order of the (h, 8) row-major layout (tiny: used only on caps)."""
+    return jnp.stack(list(layer), axis=1).reshape(-1)
+
+
 @dataclass
 class MerkleProverData:
     """Device-resident tree: committed matrices + all digest layers."""
 
     mats: list  # field matrices (planes (w, n)) in submission order
     dims: List[Tuple[int, int]]  # (width, height) per matrix
-    layers: List[jnp.ndarray]  # digest layers, layers[0] = leaves (max_h, 8)
+    # digest layers, layers[0] = leaves; each layer is a tuple of 8 (h,)
+    # u32 planes (SoA: a (h, 8) minor dim is tile-padded 16x on TPU)
+    layers: List[tuple]
     log_max: int
 
     @property
@@ -169,7 +186,7 @@ class MerkleMmcs:
             )
             kern = cached_jit(key, lambda: lambda ms: self._commit_impl(ms, dims))
             layers = kern(mats)
-        cap = np.asarray(jax.device_get(layers[-1]))
+        cap = digest_planes_to_np(layers[-1])
         return cap, MerkleProverData(mats=list(mats), dims=dims, layers=layers, log_max=log_max)
 
     def _commit_split(self, mats, dims) -> List[jnp.ndarray]:
@@ -206,7 +223,7 @@ class MerkleMmcs:
                 k = cached_jit(
                     ("mmcs_level_inj", *hname, size, sig_of(size)),
                     lambda: lambda l, ms_: self.hasher.compress(
-                        self.hasher.compress(l[0::2], l[1::2]),
+                        self.hasher.compress(_planes_stride(l, 0), _planes_stride(l, 1)),
                         self.hasher.hash_matrices(ms_),
                     ),
                 )
@@ -214,7 +231,9 @@ class MerkleMmcs:
             else:
                 k = cached_jit(
                     ("mmcs_level", *hname, size),
-                    lambda: lambda l: self.hasher.compress(l[0::2], l[1::2]),
+                    lambda: lambda l: self.hasher.compress(
+                        _planes_stride(l, 0), _planes_stride(l, 1)
+                    ),
                 )
                 layer = k(layer)
             layers.append(layer)
@@ -235,8 +254,11 @@ class MerkleMmcs:
         def rows_at(h):
             return np.concatenate([u.T for u in by_height[h]], axis=1)
 
+        def planes_of(arr):  # (h, 8) np -> tuple of 8 (h,) views
+            return tuple(arr[:, i] for i in range(arr.shape[1]))
+
         layer = self.hasher.np_hash_rows_batch(rows_at(max_h))
-        layers = [layer]
+        layers = [planes_of(layer)]
         size = max_h
         while size > (1 << self.cap_height):
             size >>= 1
@@ -245,10 +267,10 @@ class MerkleMmcs:
                 layer = self.hasher.np_compress_batch(
                     layer, self.hasher.np_hash_rows_batch(rows_at(size))
                 )
-            layers.append(layer)
+            layers.append(planes_of(layer))
         return layers
 
-    def _commit_impl(self, mats, dims) -> List[jnp.ndarray]:
+    def _commit_impl(self, mats, dims) -> List[tuple]:
         heights = sorted({h for _, h in dims}, reverse=True)
         max_h = heights[0]
         by_height = {h: [m for m, (w, mh) in zip(mats, dims) if mh == h] for h in heights}
@@ -257,7 +279,9 @@ class MerkleMmcs:
         size = max_h
         while size > (1 << self.cap_height):
             size >>= 1
-            layer = self.hasher.compress(layer[0::2], layer[1::2])
+            layer = self.hasher.compress(
+                _planes_stride(layer, 0), _planes_stride(layer, 1)
+            )
             if size in by_height:
                 injected = self.hasher.hash_matrices(by_height[size])
                 layer = self.hasher.compress(layer, injected)
@@ -291,10 +315,11 @@ class MerkleMmcs:
 
     def _gather_impl(self, layers, mats, idx, dims, log_max):
         path_len = log_max - self.cap_height
-        if path_len:
-            sib = jnp.stack([layers[l][(idx >> l) ^ 1] for l in range(path_len)], axis=0)
-        else:
-            sib = jnp.zeros((0, idx.shape[0], 8), jnp.uint32)
+        # per-level sibling gathers, kept in digest-plane form (tuple of 8
+        # (Q,) arrays per level) so no (…, 8) minor dim ever materializes
+        sib = [
+            tuple(p[(idx >> l) ^ 1] for p in layers[l]) for l in range(path_len)
+        ]
         rows = []
         for m, (w, h) in zip(mats, dims):
             shift = log_max - (h.bit_length() - 1)
@@ -304,7 +329,13 @@ class MerkleMmcs:
     def assemble(self, data: MerkleProverData, n_queries: int, fetched) -> List[BatchOpening]:
         """Build per-query openings from already-fetched host values."""
         sib_host, rows_host = fetched
-        sib_layers = np.asarray(sib_host)  # (path_len, Q, 8)
+        if sib_host:
+            sib_layers = np.stack(
+                [np.stack([np.asarray(p) for p in lvl], axis=1) for lvl in sib_host],
+                axis=0,
+            )  # (path_len, Q, 8)
+        else:
+            sib_layers = np.zeros((0, n_queries, 8), np.uint32)
         rows_per_mat = [
             _host_planes_to_u64(self._field_of(m), planes)
             for m, planes in zip(data.mats, rows_host)
@@ -437,6 +468,11 @@ def _verify_batch_queries_impl(mmcs, cap, dims, indices, openings, log_max):
             node = mmcs.hasher.np_compress_batch(node, injected)
     final_idx = idx >> (log_max - mmcs.cap_height)
     return bool(np.array_equal(np.atleast_2d(cap)[final_idx], node))
+
+
+def _planes_stride(layer, off: int):
+    """Even/odd rows of a digest layer in plane form: tuple of p[off::2]."""
+    return tuple(p[off::2] for p in layer)
 
 
 def _host_planes_to_u64(F, planes) -> np.ndarray:

@@ -737,7 +737,9 @@ class TwoAdicFriPcs:
                 current, commit_mat, layers = kern(
                     current, ext_scalar(E, beta), absorb
                 )
-                caps.append(np.asarray(jax.device_get(layers[-1])))
+                from .merkle import digest_planes_to_np
+
+                caps.append(digest_planes_to_np(layers[-1]))
                 commit_datas.append(
                     MerkleProverData(
                         mats=[commit_mat],
@@ -866,7 +868,9 @@ class TwoAdicFriPcs:
 
         # authoritative host replay on a clone; adopt its state on success
         probe = challenger.clone()
-        caps: List[np.ndarray] = [np.asarray(c) for c in caps_np]
+        caps: List[np.ndarray] = [
+            np.stack([np.asarray(p) for p in c], axis=1) for c in caps_np
+        ]
         commit_pows: List[int] = []
         for r in range(len(schedule)):
             probe.observe_commitment(caps[r])
@@ -891,8 +895,9 @@ class TwoAdicFriPcs:
         grind the PoW witness, squeeze β, fold (+absorb), commit the next
         level's tree.  Returns (new_chain, witness, β, valid, folded, tree)."""
         from . import device_transcript as dt
+        from .merkle import digest_planes_words
 
-        inp = jnp.concatenate([chain, cap.reshape(-1)])
+        inp = jnp.concatenate([chain, digest_planes_words(cap)])
         w, digest, found = dt.grind_round(inp, bits)
         beta, valid = dt.sample_ext_from_digest(digest, self.E.D)
         folded = self._fold_absorb(current, beta, absorb, log_size, a_bits, shift)

@@ -35,15 +35,18 @@ class TestPoseidon2:
         h = poseidon2.Poseidon2FieldHasher(BB_OPS)
         m = RNG.integers(0, BABYBEAR.p, (3, 4), dtype=np.uint64)
         dmat = BB_OPS.from_np(m)
-        got = np.asarray(h.hash_matrices([dmat]))  # (4, 8)
+        from multistark_tpu.merkle import digest_planes_to_np
+
+        got = digest_planes_to_np(h.hash_matrices([dmat]))  # (4, 8)
         for i in range(4):
             want = h.host_hash_rows([m[:, i]])
             np.testing.assert_array_equal(got[i], want)
-        l = np.asarray(h.hash_matrices([dmat]))[:2]
-        r = np.asarray(h.hash_matrices([dmat]))[2:4]
-        comp = np.asarray(h.compress(np.asarray(l), np.asarray(r)))
+        planes = h.hash_matrices([dmat])  # tuple of 8 (4,) planes
+        l_planes = tuple(p[:2] for p in planes)
+        r_planes = tuple(p[2:4] for p in planes)
+        comp = digest_planes_to_np(h.compress(l_planes, r_planes))
         for i in range(2):
-            want = h.host_compress(l[i], r[i])
+            want = h.host_compress(got[i], got[2 + i])
             np.testing.assert_array_equal(comp[i], want)
 
 
