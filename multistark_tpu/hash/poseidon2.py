@@ -361,17 +361,19 @@ class Poseidon2FieldHasher:
         return self._digests_to_canonical(state[:OUT])
 
     def compress(self, left, right):
-        """left/right: tuples of 8 canonical-u32 (n,) digest planes (the SoA
+        """left/right: (8, n) canonical-u32 digest arrays (the words-major
         layout shared with Blake3FieldHasher — see merkle.MerkleProverData)."""
-        state = [self._from_canonical(p) for p in left] + [
-            self._from_canonical(p) for p in right
+        state = [self._from_canonical(left[i]) for i in range(8)] + [
+            self._from_canonical(right[i]) for i in range(8)
         ]
         out = self.perm.permute(state)
         return self._digests_to_canonical(out[:OUT])
 
     def _digests_to_canonical(self, elems):
         # Montgomery -> canonical on device: REDC(x̄) = x̄·R^{-1} = x
-        return tuple(self.F._redc(e[0], jnp.zeros_like(e[0])) for e in elems)
+        return jnp.stack(
+            [self.F._redc(e[0], jnp.zeros_like(e[0])) for e in elems], axis=0
+        )
 
     def _from_canonical(self, col: jnp.ndarray):
         # canonical -> Montgomery: multiply by R^2

@@ -43,19 +43,23 @@ class Blake3FieldHasher:
     # -- device ----------------------------------------------------------
     def hash_matrices(self, mats):
         """mats: list of field matrices, planes shaped (w, n), all same n.
-        Returns the row digests of the concatenated u64-LE words as a tuple
-        of 8 1-D (n,) u32 planes (SoA — a (n, 8) array would be tile-padded
-        16x on TPU; see Blake3Device.hash_word_cols)."""
+        Returns the row digests of the concatenated u64-LE words as an
+        (8, n) u32 array — digest words on the MAJOR axis.  The transposed
+        (n, 8) layout would be tile-padded 16x on TPU (the round-3 2^20
+        blocker); (8, n) pads nothing (8 is exactly the sublane tile)."""
         cols = []
         for lo, hi in mats:
             for c in range(lo.shape[0]):
                 cols.append(lo[c])
                 cols.append(hi[c])
-        return Blake3Device.hash_word_cols(cols)
+        return jnp.stack(Blake3Device.hash_word_cols(cols), axis=0)
 
     def compress(self, left, right):
-        """left/right: tuples of 8 (n,) u32 digest planes -> same."""
-        return Blake3Device.compress_planes(left, right)
+        """left/right: (8, n) u32 digest arrays -> (8, n)."""
+        out = Blake3Device.compress_planes(
+            tuple(left[i] for i in range(8)), tuple(right[i] for i in range(8))
+        )
+        return jnp.stack(out, axis=0)
 
     # -- host ------------------------------------------------------------
     def host_hash_rows(self, rows: Sequence[Sequence[int]]) -> np.ndarray:
@@ -87,15 +91,15 @@ class Blake3FieldHasher:
 
 
 def digest_planes_to_np(layer) -> np.ndarray:
-    """A digest layer (tuple of 8 (h,) planes, device or host) -> (h, 8)
+    """A digest layer ((8, h) device array or host equivalent) -> (h, 8)
     uint32 numpy in digest-word order."""
-    return np.stack([np.asarray(p) for p in jax.device_get(list(layer))], axis=1)
+    return np.ascontiguousarray(np.asarray(jax.device_get(layer)).T)
 
 
 def digest_planes_words(layer) -> jnp.ndarray:
-    """A device digest layer -> flat u32 word vector in the serialization
-    order of the (h, 8) row-major layout (tiny: used only on caps)."""
-    return jnp.stack(list(layer), axis=1).reshape(-1)
+    """A device digest layer (8, h) -> flat u32 word vector in the
+    serialization order of the (h, 8) row-major layout (tiny: caps only)."""
+    return jnp.transpose(jnp.asarray(layer)).reshape(-1)
 
 
 @dataclass
@@ -104,9 +108,10 @@ class MerkleProverData:
 
     mats: list  # field matrices (planes (w, n)) in submission order
     dims: List[Tuple[int, int]]  # (width, height) per matrix
-    # digest layers, layers[0] = leaves; each layer is a tuple of 8 (h,)
-    # u32 planes (SoA: a (h, 8) minor dim is tile-padded 16x on TPU)
-    layers: List[tuple]
+    # digest layers, layers[0] = leaves; each layer is an (8, h) u32 array
+    # (digest words on the MAJOR axis: the transposed (h, 8) layout is
+    # tile-padded 16x on TPU — the round-3 2^20 blocker)
+    layers: List[jnp.ndarray]
     log_max: int
 
     @property
@@ -254,11 +259,8 @@ class MerkleMmcs:
         def rows_at(h):
             return np.concatenate([u.T for u in by_height[h]], axis=1)
 
-        def planes_of(arr):  # (h, 8) np -> tuple of 8 (h,) views
-            return tuple(arr[:, i] for i in range(arr.shape[1]))
-
         layer = self.hasher.np_hash_rows_batch(rows_at(max_h))
-        layers = [planes_of(layer)]
+        layers = [layer.T]  # (8, h) views of the host (h, 8) layers
         size = max_h
         while size > (1 << self.cap_height):
             size >>= 1
@@ -267,7 +269,7 @@ class MerkleMmcs:
                 layer = self.hasher.np_compress_batch(
                     layer, self.hasher.np_hash_rows_batch(rows_at(size))
                 )
-            layers.append(planes_of(layer))
+            layers.append(layer.T)
         return layers
 
     def _commit_impl(self, mats, dims) -> List[tuple]:
@@ -313,13 +315,42 @@ class MerkleMmcs:
         )
         return kern(tuple(data.layers), tuple(data.mats), jnp.asarray(indices))
 
+    def gather_device_many(self, datas: Sequence[MerkleProverData], indices_list):
+        """Dispatch the query gathers of MANY trees as ONE jitted kernel
+        (the per-tree gather_device costs one tunnel dispatch per tree —
+        ~20 per proof in the FRI query phase).  Returns a list of per-tree
+        fetched structures, same layout as gather_device's."""
+        from .utils import cached_jit
+
+        idxs = [np.asarray(ix, np.int64) for ix in indices_list]
+        sig = tuple(
+            (tuple(d.dims), d.log_max, len(ix)) for d, ix in zip(datas, idxs)
+        )
+        key = ("mmcs_gather_many", type(self.hasher).__name__, sig, self.cap_height)
+
+        def make(_sig=sig):
+            def fn(layers_list, mats_list, idx_list):
+                return [
+                    self._gather_impl(layers, mats, ix, dims, log_max)
+                    for (layers, mats, ix), (dims, log_max, _) in zip(
+                        zip(layers_list, mats_list, idx_list), _sig
+                    )
+                ]
+
+            return fn
+
+        kern = cached_jit(key, make)
+        return kern(
+            tuple(tuple(d.layers) for d in datas),
+            tuple(tuple(d.mats) for d in datas),
+            tuple(jnp.asarray(ix) for ix in idxs),
+        )
+
     def _gather_impl(self, layers, mats, idx, dims, log_max):
         path_len = log_max - self.cap_height
-        # per-level sibling gathers, kept in digest-plane form (tuple of 8
-        # (Q,) arrays per level) so no (…, 8) minor dim ever materializes
-        sib = [
-            tuple(p[(idx >> l) ^ 1] for p in layers[l]) for l in range(path_len)
-        ]
+        # per-level sibling gathers along the minor axis of the (8, h)
+        # layers (one gather per level; no (…, 8) minor dim materializes)
+        sib = [layers[l][:, (idx >> l) ^ 1] for l in range(path_len)]  # (8, Q) each
         rows = []
         for m, (w, h) in zip(mats, dims):
             shift = log_max - (h.bit_length() - 1)
@@ -331,9 +362,8 @@ class MerkleMmcs:
         sib_host, rows_host = fetched
         if sib_host:
             sib_layers = np.stack(
-                [np.stack([np.asarray(p) for p in lvl], axis=1) for lvl in sib_host],
-                axis=0,
-            )  # (path_len, Q, 8)
+                [np.asarray(lvl) for lvl in sib_host], axis=0
+            ).transpose(0, 2, 1)  # (path_len, Q, 8)
         else:
             sib_layers = np.zeros((0, n_queries, 8), np.uint32)
         rows_per_mat = [
@@ -471,8 +501,8 @@ def _verify_batch_queries_impl(mmcs, cap, dims, indices, openings, log_max):
 
 
 def _planes_stride(layer, off: int):
-    """Even/odd rows of a digest layer in plane form: tuple of p[off::2]."""
-    return tuple(p[off::2] for p in layer)
+    """Even/odd digest rows of an (8, h) layer: (8, h/2)."""
+    return layer[:, off::2]
 
 
 def _host_planes_to_u64(F, planes) -> np.ndarray:

@@ -869,7 +869,7 @@ class TwoAdicFriPcs:
         # authoritative host replay on a clone; adopt its state on success
         probe = challenger.clone()
         caps: List[np.ndarray] = [
-            np.stack([np.asarray(p) for p in c], axis=1) for c in caps_np
+            np.ascontiguousarray(np.asarray(c).T) for c in caps_np
         ]
         commit_pows: List[int] = []
         for r in range(len(schedule)):
@@ -916,19 +916,27 @@ class TwoAdicFriPcs:
         """Step E: open input trees + commit-phase trees at the sampled
         indices; all gathers dispatch async, ONE device_get syncs."""
         nq = len(indices)
-        round_devs = []
-        for data, _ in rounds:
-            shift = log_max - data.log_max_lde
-            idxs = np.asarray([i >> shift for i in indices])
-            round_devs.append(self.mmcs.gather_device(data.mmcs_data, idxs))
-        level_devs = []
+        round_datas = [data.mmcs_data for data, _ in rounds]
+        round_idxs = [
+            np.asarray([i >> (log_max - data.log_max_lde) for i in indices])
+            for data, _ in rounds
+        ]
+        level_idxs = []
         drop = log_max - log_max_ro
         bits_before = 0
-        for l, mdata in enumerate(commit_datas):
-            idxs = np.asarray([(i >> (drop + bits_before)) >> arities[l] for i in indices])
-            level_devs.append(self.mmcs.gather_device(mdata, idxs))
+        for l in range(len(commit_datas)):
+            level_idxs.append(
+                np.asarray([(i >> (drop + bits_before)) >> arities[l] for i in indices])
+            )
             bits_before += arities[l]
-        round_host, level_host = jax.device_get((round_devs, level_devs))
+        # ONE jitted gather program for every tree (rounds + fold levels):
+        # per-tree dispatches cost one tunnel round trip each (~20/proof)
+        fetched_all = self.mmcs.gather_device_many(
+            round_datas + list(commit_datas), round_idxs + level_idxs
+        )
+        round_host, level_host = jax.device_get(
+            (fetched_all[: len(round_datas)], fetched_all[len(round_datas):])
+        )
         per_round_openings = [
             self.mmcs.assemble(data.mmcs_data, nq, fetched)
             for (data, _), fetched in zip(rounds, round_host)

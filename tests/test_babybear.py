@@ -41,10 +41,8 @@ class TestPoseidon2:
         for i in range(4):
             want = h.host_hash_rows([m[:, i]])
             np.testing.assert_array_equal(got[i], want)
-        planes = h.hash_matrices([dmat])  # tuple of 8 (4,) planes
-        l_planes = tuple(p[:2] for p in planes)
-        r_planes = tuple(p[2:4] for p in planes)
-        comp = digest_planes_to_np(h.compress(l_planes, r_planes))
+        planes = h.hash_matrices([dmat])  # (8, 4) words-major digests
+        comp = digest_planes_to_np(h.compress(planes[:, :2], planes[:, 2:4]))
         for i in range(2):
             want = h.host_compress(got[i], got[2 + i])
             np.testing.assert_array_equal(comp[i], want)

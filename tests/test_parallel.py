@@ -62,10 +62,10 @@ class TestShardedCommit:
         cap_sh, data_sh = par.sharded_mmcs_commit(mmcs, pm, mats)
         np.testing.assert_array_equal(cap_ref, cap_sh)
         for a, b in zip(data_ref.layers, data_sh.layers):
-            for pa, pb in zip(a, b):  # digest layers are tuples of 8 planes
-                np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
-        # leaf layer stayed sharded (subtrees were device-local)
-        assert data_sh.layers[0][0].sharding.spec[0] == "rows"
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # leaf layer stayed sharded (subtrees were device-local); layers are
+        # (8, h) words-major arrays, rows on the minor axis
+        assert data_sh.layers[0].sharding.spec[-1] == "rows"
 
 
 class TestMeshProve:
