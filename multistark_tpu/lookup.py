@@ -319,6 +319,16 @@ def stage_2_traces(
     Returns (stage2_mats: [(max(L,1)·D, n) base matrices], accs: [ExtVal]).
     """
     D = E.D
+    from . import parallel
+    from .utils import ext_pack, ext_unpack, jit_enabled
+
+    if (
+        jit_enabled()
+        and parallel.current_mesh() is None
+        and sum(lv.height * max(len(lv.mults), 1) for lv in lookup_values)
+        < (1 << _s2_fuse_log())
+    ):
+        return _stage_2_traces_fused(F, E, hf, he, lookup_values, beta, gamma, acc0)
     mats = []
     accs = []
     acc = acc0
@@ -360,10 +370,14 @@ def stage_2_traces(
         # the axon remote-compile tunnel drops very long single compiles
         # (observed: the fused kernel at n=2^18, n·L ≈ 3.4M, died with
         # Unexpected EOF), and smaller units also retry/cache incrementally.
+        from .utils import ext_pack, ext_unpack
+
         shape_key = (L, tuple(len(a) for a in lv.args), n)
         kern_m = cached_jit(
             (E.name, "s2_msgs", *shape_key),
-            lambda: lambda args, mults, b, g: _stage2_msgs(F, E, args, mults, b, g),
+            lambda: lambda args, mults, pk: _stage2_msgs(
+                F, E, args, mults, ext_unpack(E, pk, 0), ext_unpack(E, pk, 1)
+            ),
         )
         kern_i = cached_jit(
             (E.name, "s2_inv", *shape_key),
@@ -371,16 +385,83 @@ def stage_2_traces(
         )
         kern_s = cached_jit(
             (E.name, "s2_scan", *shape_key),
-            lambda: lambda inv, mults, a0: _stage2_scan(F, E, L, inv, mults, a0),
+            lambda: lambda inv, mults, pk: _stage2_scan(
+                F, E, L, inv, mults, ext_unpack(E, pk, 2)
+            ),
         )
-        flat_msgs, flat_mults = kern_m(
-            lv.args, lv.mults, ext_scalar(E, beta), ext_scalar(E, gamma)
-        )
+        # β, γ, acc in ONE upload per circuit (~6 ms per transfer otherwise)
+        packed = ext_pack(E, (beta, gamma, acc))
+        flat_msgs, flat_mults = kern_m(lv.args, lv.mults, packed)
         inv_msgs = kern_i(flat_msgs)
-        planes, total = kern_s(inv_msgs, flat_mults, ext_scalar(E, acc))
+        planes, total = kern_s(inv_msgs, flat_mults, packed)
         total_np = E.to_np(total)
         acc = he.add(acc, tuple(int(x) for x in total_np))
         mats.append(planes)
+        accs.append(acc)
+    return mats, accs
+
+
+def _s2_fuse_log() -> int:
+    """Fuse EVERY circuit's stage-2 construction into one program when the
+    total message count is below 2^this (the accumulator threads on device;
+    per-circuit kernels + per-circuit total syncs cost ~5-20 ms of tunnel
+    overhead each).  Above it, the per-circuit split kernels remain (the
+    remote compile helper dropped the fused kernel at n·L ≈ 2^21.7)."""
+    import os
+
+    return int(os.environ.get("MULTISTARK_S2_FUSE_LOG", "21"))
+
+
+def _stage_2_traces_fused(F, E, hf, he, lookup_values, beta, gamma, acc0):
+    """stage_2_traces as ONE cached program over all circuits.  Identical
+    math to the per-circuit path (same slot-minor chain order); the host
+    reads every circuit's chain total in one fetch and rebuilds the
+    intermediate accumulators."""
+    from .utils import cached_jit, ext_pack, ext_unpack
+
+    D = E.D
+    sig = tuple(
+        (lv.height, len(lv.mults), tuple(len(a) for a in lv.args))
+        for lv in lookup_values
+    )
+
+    def mk(_sig=sig):
+        def f(args_all, mults_all, pk):
+            b = ext_unpack(E, pk, 0)
+            g = ext_unpack(E, pk, 1)
+            acc_d = ext_unpack(E, pk, 2)
+            mats, totals = [], []
+            for (n, L, _), args, mults in zip(_sig, args_all, mults_all):
+                if L == 0:
+                    planes = tuple(
+                        jnp.broadcast_to(
+                            jnp.stack([acc_d[d][p] for d in range(D)])[:, None], (D, n)
+                        )
+                        for p in range(F.num_planes)
+                    )
+                    mats.append(planes)
+                    totals.append(E.zeros(()))
+                    continue
+                flat_msgs, flat_mults = _stage2_msgs(F, E, args, mults, b, g)
+                inv_msgs = batch_inv(E, flat_msgs, axis=0)
+                planes, total = _stage2_scan(F, E, L, inv_msgs, flat_mults, acc_d)
+                acc_d = E.add(acc_d, total)
+                mats.append(planes)
+                totals.append(total)
+            return mats, totals
+
+        return f
+
+    kern = cached_jit((E.name, "s2_all", sig), mk)
+    mats, totals_dev = kern(
+        [lv.args for lv in lookup_values],
+        [lv.mults for lv in lookup_values],
+        ext_pack(E, (beta, gamma, acc0)),
+    )
+    accs = []
+    acc = acc0
+    for t in totals_dev:
+        acc = he.add(acc, tuple(int(x) for x in np.asarray(E.to_np(t)).reshape(-1)))
         accs.append(acc)
     return mats, accs
 

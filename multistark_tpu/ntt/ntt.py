@@ -346,9 +346,31 @@ class NttEngine:
 
     def icoset_from_natural(self, evals_natural, log_n: int, shift: int):
         """natural evals on shift·H -> natural coeffs."""
-        out = self._dit(self._unbrev(evals_natural, log_n), log_n, inverse=True)
-        out = self._scale(out, self.host.inv(1 << log_n))
-        return self.F.mul(out, self.pow_table(self.host.inv(shift), 1 << log_n))
+        pre = self._glue_jit(
+            ("ic_pre", log_n), evals_natural,
+            lambda _ln=log_n: lambda x: self._unbrev(x, _ln),
+        )
+        out = self._dit(pre, log_n, inverse=True)
+
+        def post(_ln=log_n, _s=shift % self.host.p):
+            def f(x):
+                x = self._scale(x, self.host.inv(1 << _ln))
+                return self.F.mul(x, self.pow_table(self.host.inv(_s), 1 << _ln))
+
+            return f
+
+        return self._glue_jit(("ic_post", log_n, shift % self.host.p), out, post)
+
+    def _glue_jit(self, tag, x, make):
+        """Jit eager glue between the per-stage transform programs when on
+        the jitted platform OUTSIDE any trace (each eager op costs ~5 ms
+        through the axon tunnel); inside a trace or eager-CPU, run plain."""
+        from ..utils import cached_jit, jit_enabled
+
+        if not jit_enabled() or _has_tracer(x):
+            return make()(x)
+        shapes = tuple(l.shape for l in jax.tree.leaves(x))
+        return cached_jit((self.F.name, "nttglue", tag, shapes), make)(x)
 
     def coset_lde_bitrev(self, evals_natural, log_n: int, log_blowup: int, shift: int):
         """Evals on the natural subgroup H_n -> evals on shift·H_N
@@ -359,14 +381,22 @@ class NttEngine:
         big = log_n + log_blowup
         # iDFT (natural->bitrev coeffs via DIF), un-bitrev the SMALL array
         cb = self._dif(evals_natural, log_n, inverse=True)
-        coeffs = self._scale(self._unbrev(cb, log_n), self.host.inv(n))
-        coeffs = F.mul(coeffs, self.pow_table(shift, n))
-        pad = jax.tree.map(
-            lambda a: jnp.concatenate(
-                [a, jnp.zeros(a.shape[:-1] + ((1 << big) - n,), a.dtype)], axis=-1
-            ),
-            coeffs,
-        )
+
+        def mid(_ln=log_n, _s=shift % self.host.p, _big=big):
+            def f(c):
+                co = self._scale(self._unbrev(c, _ln), self.host.inv(1 << _ln))
+                co = F.mul(co, self.pow_table(_s, 1 << _ln))
+                return jax.tree.map(
+                    lambda a: jnp.concatenate(
+                        [a, jnp.zeros(a.shape[:-1] + ((1 << _big) - (1 << _ln),), a.dtype)],
+                        axis=-1,
+                    ),
+                    co,
+                )
+
+            return f
+
+        pad = self._glue_jit(("ldemid", log_n, shift % self.host.p, big), cb, mid)
         return self._dif(pad, big, inverse=False)
 
     def lde_bitrev_from_coeffs(self, coeffs_natural, log_big: int):
@@ -375,11 +405,14 @@ class NttEngine:
         into the coefficients — the fused quotient commit path, reference
         src/prover.rs:681-717)."""
         n = jax.tree.leaves(coeffs_natural)[0].shape[-1]
-        pad = jax.tree.map(
-            lambda a: jnp.concatenate(
-                [a, jnp.zeros(a.shape[:-1] + ((1 << log_big) - n,), a.dtype)], axis=-1
+        pad = self._glue_jit(
+            ("pad", n, log_big), coeffs_natural,
+            lambda _n=n, _big=log_big: lambda c: jax.tree.map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.zeros(a.shape[:-1] + ((1 << _big) - _n,), a.dtype)], axis=-1
+                ),
+                c,
             ),
-            coeffs_natural,
         )
         return self._dif(pad, log_big, inverse=False)
 

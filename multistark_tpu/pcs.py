@@ -42,7 +42,10 @@ from .fields.host import HostExtField, HostField
 from .merkle import BatchOpening, MerkleMmcs, MerkleProverData
 from .ntt import get_engine
 from .ntt.ntt import _has_tracer, np_powers
-from .utils import batch_inv, bit_reverse_indices, cached_jit, ext_scalar, field_sum, reverse_bits
+from .utils import (
+    batch_inv, bit_reverse_indices, cached_jit, ext_pack, ext_scalar,
+    ext_unpack, field_sum, reverse_bits,
+)
 
 ExtVal = Tuple[int, ...]  # host extension element
 
@@ -160,6 +163,93 @@ class TwoAdicFriPcs:
         return self.hf.mul(shift, self.hf.pow(g, reverse_bits(storage_index, log_n)))
 
     # -- commit -----------------------------------------------------------
+    @staticmethod
+    def _stage_fuse_log() -> int:
+        """Stage commits whose tallest LDE is below 2^this run as ONE fused
+        program (all LDEs + the whole Merkle tree).  Eager glue between the
+        jitted pieces costs ~5 ms per op through the axon tunnel (round-4
+        probes: fully-jitted LDE 12 ms vs 243 ms with eager glue at 2^14);
+        above the threshold the pieces stay separate for the remote compile
+        helper (see ntt.NttEngine._split_log) but the glue is still jitted."""
+        import os
+
+        return int(os.environ.get("MULTISTARK_STAGE_FUSE_LOG", "21"))
+
+    def _fused_stage_commit(self, mats, specs, from_coeffs: bool):
+        """One cached program: every matrix's LDE + the mixed-height tree.
+        specs: [(log_n, shift)] per matrix (shift pre-inverted for commit)."""
+        from .merkle import MerkleProverData, digest_planes_to_np
+        from .utils import cached_jit
+
+        b = self.log_blowup
+        dims = [
+            (jax.tree.leaves(m)[0].shape[0], 1 << (ln + b))
+            for m, (ln, _) in zip(mats, specs)
+        ]
+        log_max = max(ln for ln, _ in specs) + b
+        key = (
+            "pcs_commit_fused", self.F.name,
+            type(self.mmcs.hasher).__name__, tuple(specs), tuple(dims),
+            b, self.mmcs.cap_height, from_coeffs,
+        )
+
+        def make(_specs=tuple(specs), _dims=tuple(dims)):
+            def body(ms):
+                ldes = []
+                for m, (ln, shift) in zip(ms, _specs):
+                    if from_coeffs:
+                        shifted = self.F.mul(m, self.engine.pow_table(shift, 1 << ln))
+                        ldes.append(self.engine.lde_bitrev_from_coeffs(shifted, ln + b))
+                    else:
+                        ldes.append(self.engine.coset_lde_bitrev(m, ln, b, shift))
+                layers = self.mmcs._commit_impl(ldes, list(_dims))
+                return ldes, layers
+
+            return body
+
+        ldes, layers = cached_jit(key, make)(list(mats))
+        cap = digest_planes_to_np(layers[-1])
+        mdata = MerkleProverData(mats=list(ldes), dims=dims, layers=layers, log_max=log_max)
+        return cap, mdata
+
+    def _commit_common(self, mats, specs, from_coeffs: bool):
+        """Shared commit tail: sharded / fused / piecewise dispatch."""
+        from . import parallel
+        from .utils import jit_enabled
+
+        pm = parallel.current_mesh()
+        b = self.log_blowup
+        logs = [ln for ln, _ in specs]
+        heights = [1 << (ln + b) for ln, _ in specs]
+        if (
+            pm is None
+            and jit_enabled()
+            and max(heights) < (1 << self._stage_fuse_log())
+            and min(heights) >= (1 << self.mmcs.cap_height)
+        ):
+            cap, mdata = self._fused_stage_commit(mats, specs, from_coeffs)
+            return cap, PcsProverData(mdata, logs, b)
+        ldes = []
+        for m, (ln, shift) in zip(mats, specs):
+            big = ln + b
+            if pm is not None and (1 << big) >= pm.n * pm.n:
+                if from_coeffs:
+                    shifted = self.F.mul(m, self.engine.pow_table(shift, 1 << ln))
+                    ldes.append(
+                        parallel.sharded_lde_bitrev_from_coeffs(self.engine, pm, shifted, big)
+                    )
+                else:
+                    ldes.append(
+                        parallel.sharded_coset_lde_bitrev(self.engine, pm, m, ln, b, shift)
+                    )
+            elif from_coeffs:
+                shifted = self.F.mul(m, self.engine.pow_table(shift, 1 << ln))
+                ldes.append(self.engine.lde_bitrev_from_coeffs(shifted, big))
+            else:
+                ldes.append(self.engine.coset_lde_bitrev(m, ln, b, shift))
+        cap, mdata = self._mmcs_commit(pm, ldes)
+        return cap, PcsProverData(mdata, logs, b)
+
     def commit(self, domains_and_mats) -> Tuple[np.ndarray, PcsProverData]:
         """domains_and_mats: [(TwoAdicCoset, natural-order evals (w, n))].
         LDEs land on GENERATOR·H_{n·B}, bit-reversed (reference
@@ -168,51 +258,23 @@ class TwoAdicFriPcs:
         Under an active prover mesh (parallel.use_mesh) every matrix tall
         enough runs the four-step sharded LDE and its Merkle subtree stays
         device-local; results are bit-identical to the unsharded path."""
-        from . import parallel
-
-        pm = parallel.current_mesh()
-        ldes = []
-        logs = []
+        mats, specs = [], []
         for dom, mat in domains_and_mats:
             shift = self.hf.mul(self.hf.generator, self.hf.inv(dom.shift))
-            big = dom.log_n + self.log_blowup
-            if pm is not None and (1 << big) >= pm.n * pm.n:
-                ldes.append(
-                    parallel.sharded_coset_lde_bitrev(
-                        self.engine, pm, mat, dom.log_n, self.log_blowup, shift
-                    )
-                )
-            else:
-                ldes.append(
-                    self.engine.coset_lde_bitrev(mat, dom.log_n, self.log_blowup, shift)
-                )
-            logs.append(dom.log_n)
-        cap, mdata = self._mmcs_commit(pm, ldes)
-        return cap, PcsProverData(mdata, logs, self.log_blowup)
+            mats.append(mat)
+            specs.append((dom.log_n, shift))
+        return self._commit_common(mats, specs, from_coeffs=False)
 
     def commit_from_coeffs(self, coeff_mats) -> Tuple[np.ndarray, PcsProverData]:
         """coeff_mats: [(w, n) natural coefficient matrices].  Commits their
         evals on GENERATOR·H_{n·B} directly from coefficients — the fused
         quotient commit path (reference src/prover.rs:681-717 commit_ldes)."""
-        from . import parallel
-
-        pm = parallel.current_mesh()
-        ldes = []
-        logs = []
+        mats, specs = [], []
         for coeffs in coeff_mats:
             n = jax.tree.leaves(coeffs)[0].shape[-1]
-            log_n = n.bit_length() - 1
-            big = log_n + self.log_blowup
-            shifted = self.F.mul(coeffs, self.engine.pow_table(self.hf.generator, n))
-            if pm is not None and (1 << big) >= pm.n * pm.n:
-                ldes.append(
-                    parallel.sharded_lde_bitrev_from_coeffs(self.engine, pm, shifted, big)
-                )
-            else:
-                ldes.append(self.engine.lde_bitrev_from_coeffs(shifted, big))
-            logs.append(log_n)
-        cap, mdata = self._mmcs_commit(pm, ldes)
-        return cap, PcsProverData(mdata, logs, self.log_blowup)
+            mats.append(coeffs)
+            specs.append((n.bit_length() - 1, self.hf.generator))
+        return self._commit_common(mats, specs, from_coeffs=True)
 
     def _mmcs_commit(self, pm, ldes):
         if pm is not None:
@@ -411,6 +473,7 @@ class TwoAdicFriPcs:
 
         pm = parallel.current_mesh()
         E = self.E
+        merged: List[tuple] = []
         for data, points_list in rounds:
             round_dev: List[object] = []
             for m_idx, points in enumerate(points_list):
@@ -440,15 +503,28 @@ class TwoAdicFriPcs:
                         for vals in self._np_eval_mat(m_np, log_n, points)
                     ))
                     continue
-                kern = cached_jit(
-                    ("pcs_eval", self.F.name, w, log_n, len(points)),
-                    lambda _ln=log_n: (
-                        lambda m_, zs: self._eval_kernel(m_, zs, _ln)
-                    ),
-                )
-                zs = tuple(ext_scalar(E, z) for z in points)
-                round_dev.append(kern(mat, zs))  # P-tuple of ext (w,) values
+                merged.append((len(dev_vals), len(round_dev), mat, points, w, log_n))
+                round_dev.append(None)  # filled by the merged kernel below
             dev_vals.append(round_dev)
+        if merged:
+            # ONE program for every matrix's claimed evaluations (per-matrix
+            # kernels cost ~5-20 ms of dispatch each through the tunnel)
+            sig = tuple((w, ln, len(pts)) for _, _, _, pts, w, ln in merged)
+            kern = cached_jit(
+                ("pcs_eval_all", self.F.name, sig),
+                lambda _sig=sig: lambda ms, zps: [
+                    self._eval_kernel(
+                        m_, tuple(ext_unpack(E, zp, i) for i in range(k)), ln
+                    )
+                    for (m_, zp), (w_, ln, k) in zip(zip(ms, zps), _sig)
+                ],
+            )
+            outs = kern(
+                tuple(m for _, _, m, _, _, _ in merged),
+                tuple(ext_pack(E, pts) for _, _, _, pts, _, _ in merged),
+            )
+            for (ri, mi, *_), out in zip(merged, outs):
+                dev_vals[ri][mi] = out  # P-tuple of ext (w,) values
         # one sync for every matrix's claimed values
         host_vals = jax.device_get(dev_vals)
         opened: List[List[List[List[ExtVal]]]] = []
@@ -483,6 +559,7 @@ class TwoAdicFriPcs:
         E, he = self.E, self.he
         ro: Dict[int, object] = {}
         offsets: Dict[int, int] = {}
+        merged: List[tuple] = []  # (mat, vals, ap(w,D) np, neg_offs, points, log_lde)
         for r_idx, (data, points_list) in enumerate(rounds):
             for m_idx, points in enumerate(points_list):
                 if not points:
@@ -493,27 +570,63 @@ class TwoAdicFriPcs:
                 alpha_pows = self._host_ext_powers(alpha, w)
                 off = offsets.get(log_lde, 0)
                 ap = np.asarray([list(a) for a in alpha_pows], dtype=np.uint64)  # (w, D)
-                alpha_vec = tuple(self.F.from_np(ap[:, d]) for d in range(E.D))
-                zs = tuple(ext_scalar(E, z) for z in points)
-                aoffs = tuple(
-                    ext_scalar(E, he.neg(self._ext_pow(alpha, off + k * w)))
-                    for k in range(len(points))
-                )
+                neg_offs = [
+                    he.neg(self._ext_pow(alpha, off + k * w)) for k in range(len(points))
+                ]
                 if pm is not None and (1 << log_lde) >= pm.n:
+                    alpha_vec = tuple(self.F.from_np(ap[:, d]) for d in range(E.D))
+                    zs = tuple(ext_scalar(E, z) for z in points)
+                    aoffs = tuple(ext_scalar(E, v) for v in neg_offs)
                     contrib = self._ro_sharded(
                         pm, mat, dev_vals[r_idx][m_idx], zs, alpha_vec, aoffs, log_lde
                     )
-                else:
-                    kern = cached_jit(
-                        ("pcs_ro", self.F.name, w, log_lde, len(points)),
-                        lambda _ll=log_lde: (
-                            lambda m_, vd, zs, av, aoffs: self._ro_kernel(m_, vd, zs, av, aoffs, _ll)
-                        ),
+                    ro[log_lde] = (
+                        contrib if log_lde not in ro else E.add(ro[log_lde], contrib)
                     )
-                    contrib = kern(mat, dev_vals[r_idx][m_idx], zs, alpha_vec, aoffs)
-                ro[log_lde] = contrib if log_lde not in ro else E.add(ro[log_lde], contrib)
+                else:
+                    merged.append(
+                        (mat, dev_vals[r_idx][m_idx], ap, neg_offs, points, log_lde)
+                    )
                 off += w * len(points)
                 offsets[log_lde] = off
+        if merged:
+            # ONE program for every matrix's reduced-opening contribution,
+            # per-height sums included (per-matrix kernels + eager per-height
+            # E.add cost ~5-20 ms of dispatch each through the tunnel).
+            # Per matrix it takes TWO device inputs (α-power matrix + packed
+            # z/offset scalars) instead of ~8 scalar uploads.
+            sig = tuple(
+                (e[2].shape[0], len(e[4]), e[5]) for e in merged
+            )  # (w, k, log_lde)
+            out_heights = sorted({e[5] for e in merged}, reverse=True)
+
+            def mk(_sig=sig, _hs=tuple(out_heights)):
+                def f(ms, vds, apds, zps):
+                    acc = {}
+                    for (m_, vd, apd, zp), (w_, k, ll) in zip(
+                        zip(ms, vds, apds, zps), _sig
+                    ):
+                        contrib = self._ro_kernel(
+                            m_, vd,
+                            tuple(ext_unpack(E, zp, i) for i in range(k)),
+                            tuple(tuple(pl[:, d] for pl in apd) for d in range(E.D)),
+                            tuple(ext_unpack(E, zp, k + i) for i in range(k)),
+                            ll,
+                        )
+                        acc[ll] = contrib if ll not in acc else E.add(acc[ll], contrib)
+                    return tuple(acc[h] for h in _hs)
+
+                return f
+
+            kern = cached_jit(("pcs_ro_all", self.F.name, sig), mk)
+            outs = kern(
+                tuple(e[0] for e in merged),
+                tuple(e[1] for e in merged),
+                tuple(self.F.from_np(e[2]) for e in merged),
+                tuple(ext_pack(E, list(e[4]) + e[3]) for e in merged),
+            )
+            for h, contrib in zip(out_heights, outs):
+                ro[h] = contrib if h not in ro else E.add(ro[h], contrib)
         return ro
 
     def _ro_sharded(self, pm, mat, vals_dev, zs, alpha_vec, aoffs, log_lde: int):
@@ -802,62 +915,151 @@ class TwoAdicFriPcs:
 
         current = ro[log_max_ro]
         log_size = log_max_ro
-        # round-0 commit, cap kept on device
         A0 = 1 << schedule[0]
-        slices = [jax.tree.map(lambda t, j=j: t[j::A0], current) for j in range(A0)]
-        mat0 = self._ext_slices_matrix(slices)
         dims0 = [(A0 * E.D, 1 << (log_size - schedule[0]))]
-        kern0 = cached_jit(
-            ("mmcs_commit", type(self.mmcs.hasher).__name__,
-             self.F.__class__.__name__, tuple(dims0), self.mmcs.cap_height),
-            lambda _d=tuple(dims0): lambda ms: self.mmcs._commit_impl(ms, _d),
-        )
-        layers0 = kern0([mat0])
-        commit_datas = [
-            MerkleProverData(mats=[mat0], dims=dims0, layers=layers0,
-                             log_max=log_size - schedule[0])
-        ]
-        caps_dev = [layers0[-1]]
+
+        # static per-round metadata (shapes/shifts/absorb slots)
+        heights = sorted(ro.keys(), reverse=True)
+        metas = []
+        ls = log_max_ro
+        for r, a_bits in enumerate(schedule):
+            shift_cur = self._shift_at(log_max_ro, ls)
+            next_log = ls - a_bits
+            metas.append((
+                ls, a_bits,
+                schedule[r + 1] if r + 1 < len(schedule) else None,
+                shift_cur,
+                heights.index(next_log) if next_log in ro else None,
+            ))
+            ls = next_log
 
         chain = jnp.asarray(entry)
-        ws_dev, betas_dev, oks_dev = [], [], []
-        for r, a_bits in enumerate(schedule):
-            shift_cur = self._shift_at(log_max_ro, log_size)
-            next_log = log_size - a_bits
-            absorb = ro.get(next_log)
-            next_a = schedule[r + 1] if r + 1 < len(schedule) else None
+        if log_max_ro < self._stage_fuse_log():
+            # ALL rounds (round-0 commit + every grind/fold/commit) in ONE
+            # program: the per-round kernels cost ~5-20 ms of dispatch each
+            # through the tunnel while their device compute is tiny; the
+            # whole commit phase is transcript-serial ON DEVICE anyway
             key = (
-                "fri_round_dev", E.name, log_size, a_bits, next_a,
-                shift_cur % self.hf.p, absorb is not None, bits,
-                int(chain.shape[0]), self.mmcs.cap_height,
-                type(self.mmcs.hasher).__name__,
+                "fri_rounds_fused", E.name,
+                tuple((m[0], m[1], m[2], m[3] % self.hf.p, m[4]) for m in metas),
+                tuple(heights), bits, int(chain.shape[0]),
+                self.mmcs.cap_height, type(self.mmcs.hasher).__name__,
             )
-            kern = cached_jit(
-                key,
-                lambda _ls=log_size, _ab=a_bits, _na=next_a, _sc=shift_cur, _b=bits: (
-                    lambda ch, cap, cur, ab_: self._device_round_kernel(
-                        ch, cap, cur, ab_, _ls, _ab, _na, _sc, _b
+
+            def mk(_metas=tuple(metas), _A0=A0, _d0=tuple(dims0), _b=bits):
+                def f(ch, ro_vals):
+                    cur = ro_vals[0]
+                    mat0 = self._ext_slices_matrix(
+                        [jax.tree.map(lambda t, j=j: t[j::_A0], cur) for j in range(_A0)]
+                    )
+                    layers0 = self.mmcs._commit_impl([mat0], list(_d0))
+                    trees = [(mat0, layers0)]
+                    caps_d = [layers0[-1]]
+                    ws, betas, oks = [], [], []
+                    for r, (ls_, ab_, na_, sc_, ai_) in enumerate(_metas):
+                        absorb = ro_vals[ai_] if ai_ is not None else None
+                        ch, w, beta, ok, cur, tree = self._device_round_kernel(
+                            ch, caps_d[r], cur, absorb, ls_, ab_, na_, sc_, _b
+                        )
+                        ws.append(w)
+                        betas.append(beta)
+                        oks.append(ok)
+                        if tree is not None:
+                            trees.append(tree)
+                            caps_d.append(tree[1][-1])
+                    return (
+                        tuple(caps_d), tuple(ws), tuple(betas), tuple(oks),
+                        tuple(trees), cur,
+                    )
+
+                return f
+
+            kern = cached_jit(key, mk)
+            caps_dev, ws_dev, betas_dev, oks_dev, trees, current = kern(
+                chain, tuple(ro[h] for h in heights)
+            )
+            commit_datas = [
+                MerkleProverData(mats=[trees[0][0]], dims=dims0,
+                                 layers=list(trees[0][1]),
+                                 log_max=log_size - schedule[0])
+            ]
+            t = 1
+            ls = log_max_ro
+            for r, a_bits in enumerate(schedule):
+                next_log = ls - a_bits
+                if r + 1 < len(schedule):
+                    next_a = schedule[r + 1]
+                    commit_datas.append(
+                        MerkleProverData(
+                            mats=[trees[t][0]],
+                            dims=[((1 << next_a) * E.D, 1 << (next_log - next_a))],
+                            layers=list(trees[t][1]),
+                            log_max=next_log - next_a,
+                        )
+                    )
+                    t += 1
+                ls = next_log
+            log_size = ls
+        else:
+            # per-round programs (large sizes: the remote compile helper is
+            # OOM-killed on the fully-fused commit phase)
+            kern0 = cached_jit(
+                ("fri_round0_commit", type(self.mmcs.hasher).__name__,
+                 self.F.__class__.__name__, E.name, log_size, schedule[0],
+                 self.mmcs.cap_height),
+                lambda _d=tuple(dims0), _A0=A0: lambda cur: (
+                    lambda mat: (mat, self.mmcs._commit_impl([mat], list(_d)))
+                )(
+                    self._ext_slices_matrix(
+                        [jax.tree.map(lambda t, j=j: t[j::_A0], cur) for j in range(_A0)]
                     )
                 ),
             )
-            chain, w, beta, ok, current, tree = kern(
-                chain, caps_dev[r], current, absorb
-            )
-            ws_dev.append(w)
-            betas_dev.append(beta)
-            oks_dev.append(ok)
-            if tree is not None:
-                mat, layers = tree
-                commit_datas.append(
-                    MerkleProverData(
-                        mats=[mat],
-                        dims=[((1 << next_a) * E.D, 1 << (next_log - next_a))],
-                        layers=layers,
-                        log_max=next_log - next_a,
-                    )
+            mat0, layers0 = kern0(current)
+            commit_datas = [
+                MerkleProverData(mats=[mat0], dims=dims0, layers=layers0,
+                                 log_max=log_size - schedule[0])
+            ]
+            caps_dev = [layers0[-1]]
+
+            ws_dev, betas_dev, oks_dev = [], [], []
+            for r, a_bits in enumerate(schedule):
+                shift_cur = self._shift_at(log_max_ro, log_size)
+                next_log = log_size - a_bits
+                absorb = ro.get(next_log)
+                next_a = schedule[r + 1] if r + 1 < len(schedule) else None
+                key = (
+                    "fri_round_dev", E.name, log_size, a_bits, next_a,
+                    shift_cur % self.hf.p, absorb is not None, bits,
+                    int(chain.shape[0]), self.mmcs.cap_height,
+                    type(self.mmcs.hasher).__name__,
                 )
-                caps_dev.append(layers[-1])
-            log_size = next_log
+                kern = cached_jit(
+                    key,
+                    lambda _ls=log_size, _ab=a_bits, _na=next_a, _sc=shift_cur, _b=bits: (
+                        lambda ch, cap, cur, ab_: self._device_round_kernel(
+                            ch, cap, cur, ab_, _ls, _ab, _na, _sc, _b
+                        )
+                    ),
+                )
+                chain, w, beta, ok, current, tree = kern(
+                    chain, caps_dev[r], current, absorb
+                )
+                ws_dev.append(w)
+                betas_dev.append(beta)
+                oks_dev.append(ok)
+                if tree is not None:
+                    mat, layers = tree
+                    commit_datas.append(
+                        MerkleProverData(
+                            mats=[mat],
+                            dims=[((1 << next_a) * E.D, 1 << (next_log - next_a))],
+                            layers=layers,
+                            log_max=next_log - next_a,
+                        )
+                    )
+                    caps_dev.append(layers[-1])
+                log_size = next_log
 
         # the single sync: caps, witnesses, βs, validity flags together
         caps_np, ws_np, betas_np, oks_np = jax.device_get(

@@ -232,73 +232,122 @@ def _quotient_chunk_coeffs(
     trace_dom = TwoAdicCoset(hf, log_n, 1)
     qdom = trace_dom.create_disjoint_domain(n * q)
 
-    mats = {}
-    mats[Source.MAIN.value] = pcs.get_evaluations_on_domain(s1_data, active_ord, qdom)
-    mats[Source.STAGE2.value] = pcs.get_evaluations_on_domain(s2_data, active_ord, qdom)
-    p_idx = system.preprocessed_index[c_idx]
-    if p_idx is not None:
-        mats[Source.PREPROCESSED.value] = pcs.get_evaluations_on_domain(
-            key.preprocessed_data, p_idx, qdom
-        )
-
-    sel_np = trace_dom.selectors_on_coset(qdom)
-    selectors = {
-        "first": F.from_np(sel_np.is_first_row),
-        "last": F.from_np(sel_np.is_last_row),
-        "transition": F.from_np(sel_np.is_transition),
-        "inv_vanishing": F.from_np(sel_np.inv_vanishing),
-    }
     from . import parallel
     from .utils import jit_enabled, np_mirrors_enabled
 
     pm = parallel.current_mesh()
     m = n * q
+    log_m = log_n + (q.bit_length() - 1)
+
+    # raw stored LDEs; the jitted kernels slice their qdom prefix IN-TRACE
+    # (eager prefix_to_natural costs ~5 ms/op through the tunnel)
+    raw = {
+        Source.MAIN.value: s1_data.mmcs_data.mats[active_ord],
+        Source.STAGE2.value: s2_data.mmcs_data.mats[active_ord],
+    }
+    p_idx = system.preprocessed_index[c_idx]
+    if p_idx is not None:
+        raw[Source.PREPROCESSED.value] = key.preprocessed_data.mmcs_data.mats[p_idx]
+
     if pm is not None and m >= pm.n * pm.n and q <= m // pm.n:
+        mats = {src: pcs.engine.prefix_to_natural(mat, log_m) for src, mat in raw.items()}
+        sel_np = trace_dom.selectors_on_coset(qdom)
+        selectors = {
+            "first": F.from_np(sel_np.is_first_row),
+            "last": F.from_np(sel_np.is_last_row),
+            "transition": F.from_np(sel_np.is_transition),
+            "inv_vanishing": F.from_np(sel_np.inv_vanishing),
+        }
         return _quotient_chunk_sharded(
             config, circuit, log_n, q, mats, selectors, beta, gamma, alpha,
             acc_prev, acc_final, pm,
         )
     if not jit_enabled() and np_mirrors_enabled() and hf.name in ("Goldilocks", "BabyBear"):
+        mats = {src: pcs.engine.prefix_to_natural(mat, log_m) for src, mat in raw.items()}
+        sel_np = trace_dom.selectors_on_coset(qdom)
         return _quotient_chunk_np(
             config, circuit, log_n, q, mats, sel_np, beta, gamma, alpha,
             acc_prev, acc_final,
         )
 
-    pubs = tuple(ext_scalar(E, v) for v in (beta, gamma, acc_prev, acc_final))
-    alpha_d = ext_scalar(E, alpha)
+    selectors = _selectors_device(config, trace_dom, qdom, log_n, q)
+    # β, γ, acc_prev, acc_final, α in ONE upload; kernels unpack in-trace
+    from .utils import ext_pack, ext_unpack
+
+    packed = ext_pack(E, (beta, gamma, acc_prev, acc_final, alpha))
+
+    def _unpack(pk):
+        return tuple(ext_unpack(E, pk, i) for i in range(4)), ext_unpack(E, pk, 4)
 
     from .ntt import NttEngine
 
     if m >= (1 << NttEngine._split_log()):
-        # large quotient domains: one program for the sweep, the coset iDFT
-        # dispatched per stage OUTSIDE it, slicing eager — the remote
-        # compile helper is OOM-killed on the fully-fused program at
-        # m >= ~2^21 (see ntt.NttEngine._split_log)
+        # large quotient domains: one program for the prefix+sweep, the coset
+        # iDFT dispatched per stage OUTSIDE it — the remote compile helper is
+        # OOM-killed on the fully-fused program at m >= ~2^21
         engine = get_engine(F)
         D = config.extension_params.degree
-        kern = cached_jit(
-            ("quotient_sweep", circuit.uid, log_n),
-            lambda: lambda m_, s_, p_, a_: _quotient_sweep_only(
-                config, circuit, log_n, q, m_, s_, p_, a_
-            ),
-        )
-        qmat = kern(mats, selectors, pubs, alpha_d)
-        log_m = log_n + (q.bit_length() - 1)
+
+        def mk_sweep():
+            def f(m_, s_, pk):
+                p_, a_ = _unpack(pk)
+                return _quotient_sweep_only(
+                    config, circuit, log_n, q,
+                    {src: engine.prefix_to_natural(mm, log_m) for src, mm in m_.items()},
+                    s_, p_, a_,
+                )
+
+            return f
+
+        kern = cached_jit(("quotient_sweep", circuit.uid, log_n), mk_sweep)
+        qmat = kern(raw, selectors, packed)
         shift = config.host_field.mul(config.host_field.generator, 1)
         coeffs = engine.icoset_from_natural(qmat, log_m, shift)
-        rows = []
-        for i in range(q):
-            for d in range(D):
-                rows.append(jax.tree.map(lambda p: p[d, i * n : (i + 1) * n], coeffs))
-        return tuple(jnp.stack([r[p] for r in rows], axis=0) for p in range(F.num_planes))
+        kslice = cached_jit(
+            ("quotient_slice", circuit.uid, log_n),
+            lambda: lambda cs: tuple(
+                jnp.stack(
+                    [cs[p][d, i * n : (i + 1) * n] for i in range(q) for d in range(D)],
+                    axis=0,
+                )
+                for p in range(F.num_planes)
+            ),
+        )
+        return kslice(coeffs)
 
-    kern = cached_jit(
-        ("quotient", circuit.uid, log_n),
-        lambda: lambda m_, s_, p_, a_: _quotient_kernel(
-            config, circuit, log_n, q, m_, s_, p_, a_
-        ),
-    )
-    return kern(mats, selectors, pubs, alpha_d)
+    def mk_quot():
+        def f(m_, s_, pk):
+            p_, a_ = _unpack(pk)
+            return _quotient_kernel(
+                config, circuit, log_n, q,
+                {src: get_engine(F).prefix_to_natural(mm, log_m) for src, mm in m_.items()},
+                s_, p_, a_,
+            )
+
+        return f
+
+    kern = cached_jit(("quotient", circuit.uid, log_n), mk_quot)
+    return kern(raw, selectors, packed)
+
+
+_SELECTOR_CACHE: dict = {}
+
+
+def _selectors_device(config, trace_dom, qdom, log_n: int, q: int) -> dict:
+    """Device-resident coset selectors, cached across proves (they depend
+    only on the domain geometry; re-uploading them cost 4 host->device
+    transfers per circuit per prove)."""
+    key = (config.host_field.p, log_n, q)
+    if key not in _SELECTOR_CACHE:
+        F = config.field
+        sel_np = trace_dom.selectors_on_coset(qdom)
+        _SELECTOR_CACHE[key] = {
+            "first": F.from_np(sel_np.is_first_row),
+            "last": F.from_np(sel_np.is_last_row),
+            "transition": F.from_np(sel_np.is_transition),
+            "inv_vanishing": F.from_np(sel_np.inv_vanishing),
+        }
+    return _SELECTOR_CACHE[key]
 
 
 _last_sharded_qmat_spec = None  # test breadcrumb, see _quotient_chunk_sharded

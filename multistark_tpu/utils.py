@@ -320,5 +320,22 @@ def ext_scalar(E, v):
     return tuple(E.base.from_np(np.uint64(c)) for c in v)
 
 
+def ext_pack(E, vals):
+    """k host extension values -> ONE device upload (planes shaped (k, D)).
+    Each `ext_scalar` costs ~6 ms of per-transfer overhead through the axon
+    tunnel (round-4 probe); a prove uploads ~25 transcript scalars, so hot
+    kernels take one packed argument and unpack IN-TRACE via ext_unpack."""
+    p = E.base.host.p
+    arr = np.asarray([[int(c) % p for c in v] for v in vals], np.uint64)
+    return E.base.from_np(arr)
+
+
+def ext_unpack(E, packed, i: int):
+    """Row i of an ext_pack as the standard device ext scalar structure
+    (coord-major tuple of plane tuples).  Trace-time only: the slices fuse
+    into the consuming program."""
+    return tuple(tuple(pl[i, d] for pl in packed) for d in range(E.D))
+
+
 def base_scalar(F, v: int):
     return F.from_np(np.uint64(v))
