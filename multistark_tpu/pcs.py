@@ -170,10 +170,13 @@ class TwoAdicFriPcs:
         jitted pieces costs ~5 ms per op through the axon tunnel (round-4
         probes: fully-jitted LDE 12 ms vs 243 ms with eager glue at 2^14);
         above the threshold the pieces stay separate for the remote compile
-        helper (see ntt.NttEngine._split_log) but the glue is still jitted."""
+        helper (see ntt.NttEngine._split_log) but the glue is still jitted.
+        Default 2^20: the helper was SIGKILL'd (OOM) compiling the fused
+        stage program over a 2^20-leaf LDE (observed this round at 2^18
+        traces), and the fused FRI commit phase gates on the same knob."""
         import os
 
-        return int(os.environ.get("MULTISTARK_STAGE_FUSE_LOG", "21"))
+        return int(os.environ.get("MULTISTARK_STAGE_FUSE_LOG", "20"))
 
     def _fused_stage_commit(self, mats, specs, from_coeffs: bool):
         """One cached program: every matrix's LDE + the mixed-height tree.
