@@ -148,3 +148,27 @@ class TestHostExt:
                 assert E.mul(a, b) == E.mul(b, a)
                 if not E.is_zero(a):
                     assert E.mul(a, E.inv(a)) == E.one
+
+
+class TestExtPack:
+    def test_ext_pack_unpack_matches_ext_scalar(self):
+        """ext_pack rows unpack to the exact ext_scalar device structure
+        (the packed transcript-scalar upload path, utils.ext_pack)."""
+        import numpy as np
+
+        from multistark_tpu.configs import GoldilocksBlake3Config
+        from multistark_tpu.config import CommitmentParameters, FriParameters
+        from multistark_tpu.utils import ext_pack, ext_scalar, ext_unpack
+
+        cfg = GoldilocksBlake3Config(
+            CommitmentParameters(2, 0), FriParameters(0, 1, 4, 0, 0)
+        )
+        E = cfg.ext
+        vals = [(123456789012345678, 3), (0, cfg.host_field.p - 1), (7, 8)]
+        pk = ext_pack(E, vals)
+        for i, v in enumerate(vals):
+            want = ext_scalar(E, v)
+            got = ext_unpack(E, pk, i)
+            for wc, gc in zip(want, got):
+                for wp, gp in zip(wc, gc):
+                    assert np.asarray(wp) == np.asarray(gp)
