@@ -343,6 +343,10 @@ def main():
 
 
 def _emit(metric: str, headline_key: str, backend: str, sizes: dict):
+    # CONTRACT: one JSON line is printed after EVERY completed size of a
+    # multi-size sweep, so a consumer must take the LAST stdout line (the
+    # in-repo subprocess reader does); earlier lines are partial captures
+    # kept so a harness timeout mid-sweep still leaves data on stdout.
     print(
         json.dumps(
             {

@@ -261,16 +261,23 @@ class DuplexChallenger:
     WIDTH = 16
     RATE = 8
 
-    def __init__(self, field: HostField, ext: HostExtField, permutation):
+    def __init__(
+        self, field: HostField, ext: HostExtField, permutation,
+        observe_bytes_convention: str = "field_per_byte",
+    ):
+        assert observe_bytes_convention in ("field_per_byte", "packed_u32_le")
         self.F = field
         self.E = ext
         self.perm = permutation
+        # TranscriptProfile.duplex_observe_bytes seam (the p3 convention for
+        # byte observation through a field duplex is not pinnable offline)
+        self.bytes_convention = observe_bytes_convention
         self.state = [0] * self.WIDTH
         self.input_buffer: List[int] = []
         self.output_buffer: List[int] = []
 
     def clone(self) -> "DuplexChallenger":
-        c = DuplexChallenger(self.F, self.E, self.perm)
+        c = DuplexChallenger(self.F, self.E, self.perm, self.bytes_convention)
         c.state = list(self.state)
         c.input_buffer = list(self.input_buffer)
         c.output_buffer = list(self.output_buffer)
@@ -307,8 +314,12 @@ class DuplexChallenger:
                 self.observe_field(int(w))
 
     def observe_bytes(self, data: bytes) -> None:
-        for b in data:
-            self.observe_field(b)
+        if self.bytes_convention == "packed_u32_le":
+            for i in range(0, len(data), 4):
+                self.observe_field(int.from_bytes(data[i : i + 4], "little"))
+        else:  # field_per_byte
+            for b in data:
+                self.observe_field(b)
 
     # -- sampling ---------------------------------------------------------
     def sample_field(self) -> int:

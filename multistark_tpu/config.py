@@ -12,6 +12,50 @@ from dataclasses import dataclass
 
 
 @dataclass(frozen=True)
+class TranscriptProfile:
+    """One seam for every cross-implementation transcript / serialization
+    convention that cannot be pinned against the Rust reference offline
+    (no Rust toolchain, Plonky3 not vendored).  Each field names a known
+    deviation; matching p3 when fixtures arrive is a parameter change here,
+    not surgery across modules.  The defaults are this library's
+    self-consistent choices, covered by fixtures/reference_vectors.json.
+
+    Knobs and their consumers:
+
+    fri_observe_claims_before_alpha (pcs.open / pcs.verify):
+        True  — observe ALL claimed opened values, then sample α (ours:
+                an adversary cannot adapt claims to the batching challenge)
+        False — p3-fri order: α is sampled at the start of open() with no
+                claimed-value observation (they are bound by the FRI check)
+    commit_pow_witness_placement (serialization.py FriProof layout):
+        "after_commits"     — Vec<u64> directly after commit_phase_commits
+                              (ours; the argumentcomputer fork's field is not
+                              placeable from the reference source offline)
+        "before_pow_witness" — between final_poly and pow_witness
+        "after_pow_witness"  — last field of FriProof
+    duplex_observe_bytes (challenger.DuplexChallenger):
+        "field_per_byte" — one field element per byte (ours)
+        "packed_u32_le"  — pack each 4-byte LE word into one field element
+                           (zero-padded tail), p3's observe_slice-of-u32 shape
+    poseidon2_constants (hash/poseidon2.py via the BabyBear config):
+        None — self-derived BLAKE3-seeded constants (security-checked,
+               documented deviation)
+        (external, internal, diag) — explicit injection: tuple of
+               (ROUNDS_F×WIDTH ints, ROUNDS_P ints, WIDTH ints) canonical
+               BabyBear values, e.g. p3's pinned constants
+               (reference src/test_circuits/baby_bear_config.rs:15-31)
+    """
+
+    fri_observe_claims_before_alpha: bool = True
+    commit_pow_witness_placement: str = "after_commits"
+    duplex_observe_bytes: str = "field_per_byte"
+    poseidon2_constants: tuple | None = None
+
+
+DEFAULT_TRANSCRIPT_PROFILE = TranscriptProfile()
+
+
+@dataclass(frozen=True)
 class CommitmentParameters:
     """Merkle commitment parameters (reference src/types.rs:171-177)."""
 
@@ -70,6 +114,10 @@ class StarkConfig:
       log_blowup()
       extension_params : fields.host.ExtensionParams for the compiler
     """
+
+    # cross-implementation convention seam; concrete configs may override
+    # (see TranscriptProfile)
+    transcript_profile = DEFAULT_TRANSCRIPT_PROFILE
 
     def max_log_degree(self) -> int:
         return self.host_field.two_adicity - self.log_blowup()

@@ -23,6 +23,7 @@ class BabyBearPoseidon2Config(StarkConfig):
         self,
         commitment_parameters: CommitmentParameters,
         fri_parameters: FriParameters,
+        transcript_profile=None,
     ):
         self.field = BB_OPS
         self.ext = BB4_OPS
@@ -31,6 +32,13 @@ class BabyBearPoseidon2Config(StarkConfig):
         self.extension_params = ExtensionParams(degree=4, w=11, karatsuba=False)
         self.commitment_parameters = commitment_parameters
         self.fri_parameters = fri_parameters
+        if transcript_profile is not None:
+            self.transcript_profile = transcript_profile
+        if self.transcript_profile.poseidon2_constants is not None:
+            # must precede hasher construction (device constants snapshot)
+            from ..hash.poseidon2 import install_constants
+
+            install_constants(self.transcript_profile.poseidon2_constants)
         self.hasher = Poseidon2FieldHasher(BB_OPS)
         self.pcs = TwoAdicFriPcs(
             BB_OPS,
@@ -40,11 +48,15 @@ class BabyBearPoseidon2Config(StarkConfig):
             self.hasher,
             commitment_parameters,
             fri_parameters,
+            transcript_profile=self.transcript_profile,
         )
 
     def initialise_challenger(self) -> DuplexChallenger:
         """Field-element seeding (reference baby_bear_config.rs:70-85)."""
-        ch = DuplexChallenger(self.host_field, self.host_ext, permute)
+        ch = DuplexChallenger(
+            self.host_field, self.host_ext, permute,
+            self.transcript_profile.duplex_observe_bytes,
+        )
         ch.observe_bytes(DOMAIN_TAG)
         p = self.commitment_parameters
         f = self.fri_parameters

@@ -18,6 +18,7 @@ class GoldilocksBlake3Config(StarkConfig):
         self,
         commitment_parameters: CommitmentParameters,
         fri_parameters: FriParameters,
+        transcript_profile=None,
     ):
         self.field = GL_OPS
         self.ext = GL2_OPS
@@ -26,6 +27,8 @@ class GoldilocksBlake3Config(StarkConfig):
         self.extension_params = ExtensionParams(degree=2, w=7, karatsuba=True)
         self.commitment_parameters = commitment_parameters
         self.fri_parameters = fri_parameters
+        if transcript_profile is not None:
+            self.transcript_profile = transcript_profile
         self.hasher = Blake3FieldHasher(GL_OPS)
         self.pcs = TwoAdicFriPcs(
             GL_OPS,
@@ -35,6 +38,7 @@ class GoldilocksBlake3Config(StarkConfig):
             self.hasher,
             commitment_parameters,
             fri_parameters,
+            transcript_profile=self.transcript_profile,
         )
 
     def initialise_challenger(self) -> SerializingChallenger64:

@@ -201,6 +201,31 @@ def _internal_matrix_secure(diag: Sequence[int]) -> bool:
 
 CONSTANTS = _derive_constants()
 
+
+def install_constants(constants) -> None:
+    """TranscriptProfile.poseidon2_constants seam: replace the self-derived
+    round constants with externally supplied ones (e.g. p3's pinned
+    Poseidon2BabyBear<16> constants, reference
+    src/test_circuits/baby_bear_config.rs:15-31, once fixtures exist).
+
+    `constants` is (external, internal, diag): ROUNDS_F rows of WIDTH ints,
+    ROUNDS_P ints, WIDTH ints — canonical BabyBear values.  The update is
+    module-global and must happen BEFORE any Poseidon2Device / hasher is
+    constructed (they snapshot device constants at init); configs apply it
+    in __init__.  Two configs with different constants cannot coexist in
+    one process — acceptable for a cross-validation seam."""
+    external, internal, diag = constants
+    external = [list(map(int, row)) for row in external]
+    internal = list(map(int, internal))
+    diag = [int(d) for d in diag]
+    assert len(external) == ROUNDS_F and all(len(r) == WIDTH for r in external)
+    assert len(internal) == ROUNDS_P and len(diag) == WIDTH
+    assert all(0 <= c < P for row in external for c in row)
+    assert all(0 <= c < P for c in internal) and all(0 < d < P for d in diag)
+    CONSTANTS["external"] = external
+    CONSTANTS["internal"] = internal
+    CONSTANTS["diag"] = diag
+
 _M4 = ((2, 3, 1, 1), (1, 2, 3, 1), (1, 1, 2, 3), (3, 1, 1, 2))
 
 

@@ -325,7 +325,10 @@ def stage_2_traces(
     if (
         jit_enabled()
         and parallel.current_mesh() is None
-        and sum(lv.height * max(len(lv.mults), 1) for lv in lookup_values)
+        # message budget counts only circuits with lookups: an L==0 circuit
+        # compiles to a trivial pass-through broadcast, so tall no-lookup
+        # circuits must not push a mixed system off the fused path
+        and sum(lv.height * len(lv.mults) for lv in lookup_values)
         < (1 << _s2_fuse_log())
     ):
         return _stage_2_traces_fused(F, E, hf, he, lookup_values, beta, gamma, acc0)
@@ -405,11 +408,16 @@ def _s2_fuse_log() -> int:
     """Fuse EVERY circuit's stage-2 construction into one program when the
     total message count is below 2^this (the accumulator threads on device;
     per-circuit kernels + per-circuit total syncs cost ~5-20 ms of tunnel
-    overhead each).  Above it, the per-circuit split kernels remain (the
-    remote compile helper dropped the fused kernel at n·L ≈ 2^21.7)."""
+    overhead each).  The round-4 2^21 guard protected the remote compile
+    helper from multi-MB MLIR constants; utils.hoisted_jit turned those
+    into runtime arguments, so the default rises to 2^25 (2^20 rows × 13
+    lookups stays fused); without hoisting the old guard returns."""
     import os
 
-    return int(os.environ.get("MULTISTARK_S2_FUSE_LOG", "21"))
+    from .utils import _hoist_enabled
+
+    default = "25" if _hoist_enabled() else "21"
+    return int(os.environ.get("MULTISTARK_S2_FUSE_LOG", default))
 
 
 def _stage_2_traces_fused(F, E, hf, he, lookup_values, beta, gamma, acc0):
@@ -425,35 +433,8 @@ def _stage_2_traces_fused(F, E, hf, he, lookup_values, beta, gamma, acc0):
         for lv in lookup_values
     )
 
-    def mk(_sig=sig):
-        def f(args_all, mults_all, pk):
-            b = ext_unpack(E, pk, 0)
-            g = ext_unpack(E, pk, 1)
-            acc_d = ext_unpack(E, pk, 2)
-            mats, totals = [], []
-            for (n, L, _), args, mults in zip(_sig, args_all, mults_all):
-                if L == 0:
-                    planes = tuple(
-                        jnp.broadcast_to(
-                            jnp.stack([acc_d[d][p] for d in range(D)])[:, None], (D, n)
-                        )
-                        for p in range(F.num_planes)
-                    )
-                    mats.append(planes)
-                    totals.append(E.zeros(()))
-                    continue
-                flat_msgs, flat_mults = _stage2_msgs(F, E, args, mults, b, g)
-                inv_msgs = batch_inv(E, flat_msgs, axis=0)
-                planes, total = _stage2_scan(F, E, L, inv_msgs, flat_mults, acc_d)
-                acc_d = E.add(acc_d, total)
-                mats.append(planes)
-                totals.append(total)
-            return mats, totals
-
-        return f
-
-    kern = cached_jit((E.name, "s2_all", sig), mk)
-    mats, totals_dev = kern(
+    kern = cached_jit((E.name, "s2_all", sig), lambda: _mk_s2_fused(F, E, sig))
+    mats, totals_dev, _ = kern(
         [lv.args for lv in lookup_values],
         [lv.mults for lv in lookup_values],
         ext_pack(E, (beta, gamma, acc0)),
@@ -464,6 +445,93 @@ def _stage_2_traces_fused(F, E, hf, he, lookup_values, beta, gamma, acc0):
         acc = he.add(acc, tuple(int(x) for x in np.asarray(E.to_np(t)).reshape(-1)))
         accs.append(acc)
     return mats, accs
+
+
+def _mk_s2_fused(F, E, sig):
+    """Shared fused stage-2 body: returns (mats, per-circuit chain totals,
+    per-circuit running accumulators incl. acc0) — the host path fetches the
+    totals, the device-transcript path keeps the accumulators on device."""
+    from .utils import ext_unpack
+
+    D = E.D
+
+    def f(args_all, mults_all, pk):
+        b = ext_unpack(E, pk, 0)
+        g = ext_unpack(E, pk, 1)
+        acc_d = ext_unpack(E, pk, 2)
+        mats, totals, accs = [], [], []
+        for (n, L, _), args, mults in zip(sig, args_all, mults_all):
+            if L == 0:
+                planes = tuple(
+                    jnp.broadcast_to(
+                        jnp.stack([acc_d[d][p] for d in range(D)])[:, None], (D, n)
+                    )
+                    for p in range(F.num_planes)
+                )
+                mats.append(planes)
+                totals.append(E.zeros(()))
+                accs.append(acc_d)
+                continue
+            flat_msgs, flat_mults = _stage2_msgs(F, E, args, mults, b, g)
+            inv_msgs = batch_inv(E, flat_msgs, axis=0)
+            planes, total = _stage2_scan(F, E, L, inv_msgs, flat_mults, acc_d)
+            acc_d = E.add(acc_d, total)
+            mats.append(planes)
+            totals.append(total)
+            accs.append(acc_d)
+        return mats, totals, accs
+
+    return f
+
+
+def stage_2_traces_device(F, E, lookup_values, beta_d, gamma_d, acc0_d):
+    """Device-transcript stage-2: β/γ/acc₀ arrive as DEVICE scalars (duplex
+    draws / the device claims accumulator), no host value touches the chain.
+    Returns (stage-2 matrices, per-circuit running accumulators — device ext
+    scalars for duplex observation and the quotient kernels)."""
+    from .utils import cached_jit, ext_pack_device
+
+    sig = tuple(
+        (lv.height, len(lv.mults), tuple(len(a) for a in lv.args))
+        for lv in lookup_values
+    )
+    kern = cached_jit((E.name, "s2_all", sig), lambda: _mk_s2_fused(F, E, sig))
+    mats, _, accs = kern(
+        [lv.args for lv in lookup_values],
+        [lv.mults for lv in lookup_values],
+        ext_pack_device(E, (beta_d, gamma_d, acc0_d)),
+    )
+    return mats, accs
+
+
+def claims_accumulator_device(F, E, claims_arr: np.ndarray, beta_d, gamma_d):
+    """Device counterpart of claims_accumulator: acc₀ = Σ (β+fp(γ,claim))⁻¹
+    over an (n, L) canonical-u64 claims array with β, γ as device scalars
+    (reference src/prover.rs:381-387).  One upload, one program; pinned
+    against the host/native path in tests/test_lookup.py."""
+    from .utils import batch_inv as _binv, cached_jit, ext_pack_device, field_sum
+
+    n, L = claims_arr.shape
+    cols_dev = F.from_np(np.ascontiguousarray(claims_arr.T))  # (L, n) planes
+
+    def mk(_n=n, _L=L):
+        from .utils import ext_unpack
+
+        def f(cols, pk):
+            b = ext_unpack(E, pk, 0)
+            g = ext_unpack(E, pk, 1)
+            m = E.zeros((_n,))
+            for j in range(_L - 1, -1, -1):
+                col = jax.tree.map(lambda p: p[j], cols)
+                m = E.add(E.mul(m, g), E.from_base(col))
+            m = E.add(m, b)
+            inv = _binv(E, m, axis=0)
+            return field_sum(E, inv, axis=0)
+
+        return f
+
+    kern = cached_jit((E.name, "claims_acc_dev", n, L), mk)
+    return kern(cols_dev, ext_pack_device(E, (beta_d, gamma_d)))
 
 
 def _stage2_np(F, E, hf, he, lv, beta, gamma, acc):

@@ -213,13 +213,19 @@ class NttEngine:
     @staticmethod
     def _split_log() -> int:
         """Transforms of size >= 2^this run as per-stage jits instead of one
-        fused program: the axon remote-compile helper gets OOM-KILLED on
-        fused 20+-stage butterfly programs over 2^20+-element tensors
-        (observed SIGKILL at LDE 2^20-2^21); per-stage programs are tiny and
-        also cache/retry incrementally.  Identical math either way."""
+        fused program.  The round-4 compile-helper OOM (SIGKILL on ~14 MB
+        MLIR) was the twiddle/index tables inlined as dense MLIR constants;
+        with utils.hoisted_jit they are runtime arguments and the fused
+        program is a few hundred KB at ANY size, so the default threshold
+        moves to 2^24 (the whole 2^20-row bench regime stays fused).  With
+        hoisting disabled the old 2^20 guard returns.  Identical math
+        either way."""
         import os
 
-        return int(os.environ.get("MULTISTARK_NTT_SPLIT_LOG", "20"))
+        from ..utils import _hoist_enabled
+
+        default = "24" if _hoist_enabled() else "20"
+        return int(os.environ.get("MULTISTARK_NTT_SPLIT_LOG", default))
 
     def _dit(self, x, log_n: int, inverse: bool):
         from ..utils import jit_enabled

@@ -101,7 +101,10 @@ class TwoAdicFriPcs:
         hasher,
         commitment_parameters: CommitmentParameters,
         fri_parameters: FriParameters,
+        transcript_profile=None,
     ):
+        from .config import DEFAULT_TRANSCRIPT_PROFILE
+
         assert 1 <= fri_parameters.max_log_arity <= 4
         self.F = F
         self.E = E
@@ -110,6 +113,7 @@ class TwoAdicFriPcs:
         self.mmcs = MerkleMmcs(hasher, commitment_parameters.cap_height)
         self.params = commitment_parameters
         self.fri = fri_parameters
+        self.profile = transcript_profile or DEFAULT_TRANSCRIPT_PROFILE
         self.engine = get_engine(F)
         self._x_storage: Dict[Tuple[int, int, bool], object] = {}
 
@@ -169,14 +173,18 @@ class TwoAdicFriPcs:
         program (all LDEs + the whole Merkle tree).  Eager glue between the
         jitted pieces costs ~5 ms per op through the axon tunnel (round-4
         probes: fully-jitted LDE 12 ms vs 243 ms with eager glue at 2^14);
-        above the threshold the pieces stay separate for the remote compile
-        helper (see ntt.NttEngine._split_log) but the glue is still jitted.
-        Default 2^20: the helper was SIGKILL'd (OOM) compiling the fused
-        stage program over a 2^20-leaf LDE (observed this round at 2^18
-        traces), and the fused FRI commit phase gates on the same knob."""
+        above the threshold the pieces stay separate (see
+        ntt.NttEngine._split_log) but the glue is still jitted.  The round-4
+        2^20 default guarded the remote compile helper against OOM on
+        multi-MB MLIR constants; with utils.hoisted_jit those are runtime
+        arguments, so the default rises to 2^23 (2^20-row traces at B=4
+        commit fused); without hoisting the old guard returns."""
         import os
 
-        return int(os.environ.get("MULTISTARK_STAGE_FUSE_LOG", "20"))
+        from .utils import _hoist_enabled
+
+        default = "23" if _hoist_enabled() else "20"
+        return int(os.environ.get("MULTISTARK_STAGE_FUSE_LOG", default))
 
     def _fused_stage_commit(self, mats, specs, from_coeffs: bool):
         """One cached program: every matrix's LDE + the mixed-height tree.
@@ -211,9 +219,8 @@ class TwoAdicFriPcs:
             return body
 
         ldes, layers = cached_jit(key, make)(list(mats))
-        cap = digest_planes_to_np(layers[-1])
         mdata = MerkleProverData(mats=list(ldes), dims=dims, layers=layers, log_max=log_max)
-        return cap, mdata
+        return layers[-1], mdata  # device cap layer; callers fetch if needed
 
     def _commit_common(self, mats, specs, from_coeffs: bool):
         """Shared commit tail: sharded / fused / piecewise dispatch."""
@@ -230,8 +237,10 @@ class TwoAdicFriPcs:
             and max(heights) < (1 << self._stage_fuse_log())
             and min(heights) >= (1 << self.mmcs.cap_height)
         ):
-            cap, mdata = self._fused_stage_commit(mats, specs, from_coeffs)
-            return cap, PcsProverData(mdata, logs, b)
+            cap_layer, mdata = self._fused_stage_commit(mats, specs, from_coeffs)
+            from .merkle import digest_planes_to_np
+
+            return digest_planes_to_np(cap_layer), PcsProverData(mdata, logs, b)
         ldes = []
         for m, (ln, shift) in zip(mats, specs):
             big = ln + b
@@ -279,6 +288,43 @@ class TwoAdicFriPcs:
             specs.append((n.bit_length() - 1, self.hf.generator))
         return self._commit_common(mats, specs, from_coeffs=True)
 
+    # -- device-cap commits (whole-prove device transcript) ----------------
+    def _commit_device(self, mats, specs, from_coeffs: bool):
+        """Fused commit returning the DEVICE cap layer (8, k) — no host
+        sync; None when the fused single-device path does not apply (the
+        DT prover then falls back to the host transcript)."""
+        from . import parallel
+        from .utils import jit_enabled
+
+        b = self.log_blowup
+        logs = [ln for ln, _ in specs]
+        heights = [1 << (ln + b) for ln, _ in specs]
+        if not (
+            parallel.current_mesh() is None
+            and jit_enabled()
+            and max(heights) < (1 << self._stage_fuse_log())
+            and min(heights) >= (1 << self.mmcs.cap_height)
+        ):
+            return None
+        cap_layer, mdata = self._fused_stage_commit(mats, specs, from_coeffs)
+        return cap_layer, PcsProverData(mdata, logs, b)
+
+    def commit_device(self, domains_and_mats):
+        mats, specs = [], []
+        for dom, mat in domains_and_mats:
+            shift = self.hf.mul(self.hf.generator, self.hf.inv(dom.shift))
+            mats.append(mat)
+            specs.append((dom.log_n, shift))
+        return self._commit_device(mats, specs, from_coeffs=False)
+
+    def commit_from_coeffs_device(self, coeff_mats):
+        mats, specs = [], []
+        for coeffs in coeff_mats:
+            n = jax.tree.leaves(coeffs)[0].shape[-1]
+            mats.append(coeffs)
+            specs.append((n.bit_length() - 1, self.hf.generator))
+        return self._commit_device(mats, specs, from_coeffs=True)
+
     def _mmcs_commit(self, pm, ldes):
         if pm is not None:
             from . import parallel
@@ -308,11 +354,12 @@ class TwoAdicFriPcs:
         dev_vals: List[List[object]] = []  # device (w, ?) coord arrays per matrix
         with span("stark/fri_open/eval"):
             opened = self._claimed_evaluations(rounds, dev_vals)
-            for round_vals in opened:
-                for mat_vals in round_vals:
-                    for pt_vals in mat_vals:
-                        for v in pt_vals:
-                            challenger.observe_ext(v)
+            if self.profile.fri_observe_claims_before_alpha:
+                for round_vals in opened:
+                    for mat_vals in round_vals:
+                        for pt_vals in mat_vals:
+                            for v in pt_vals:
+                                challenger.observe_ext(v)
         alpha = challenger.sample_ext()
 
         # -- Step C: reduced openings per LDE height (device, bitrev order)
@@ -910,11 +957,65 @@ class TwoAdicFriPcs:
         authority; returns None on any divergence (caller falls back)."""
         from . import device_transcript as dt
 
-        E = self.E
-        bits = self.fri.commit_proof_of_work_bits
         entry = dt.entry_buffer_words(bytes(challenger.inner.input_buffer))
         if entry is None:
             return None
+        (
+            caps_dev, ws_dev, betas_dev, oks_dev, commit_datas, current, log_size,
+        ) = self._commit_phase_device_core(ro, schedule, log_max_ro, jnp.asarray(entry))
+
+        # the single sync: caps, witnesses, βs, validity flags together
+        caps_np, ws_np, betas_np, oks_np = jax.device_get(
+            (caps_dev, ws_dev, betas_dev, oks_dev)
+        )
+        replay = self.replay_commit_phase_host(
+            challenger, schedule, caps_np, ws_np, betas_np, oks_np
+        )
+        if replay is None:
+            return None
+        caps, commit_pows = replay
+        return caps, commit_datas, commit_pows, current, log_size
+
+    def replay_commit_phase_host(
+        self, challenger, schedule, caps_np, ws_np, betas_np, oks_np
+    ):
+        """Authoritative host replay of the device commit-phase transcript:
+        observe each cap, check the grind witness, compare each β against
+        the device draw.  Adopts the replayed challenger state on success;
+        returns None on any divergence (caller falls back to the host
+        path)."""
+        from . import device_transcript as dt
+
+        bits = self.fri.commit_proof_of_work_bits
+        if not all(bool(o) for o in oks_np):
+            return None  # grind miss or rejection-sampling draw
+        probe = challenger.clone()
+        caps: List[np.ndarray] = [
+            np.ascontiguousarray(np.asarray(c).T) for c in caps_np
+        ]
+        commit_pows: List[int] = []
+        for r in range(len(schedule)):
+            probe.observe_commitment(caps[r])
+            w = dt.u64_of_pair(*ws_np[r])
+            if not probe.check_witness(bits, w):
+                return None
+            beta_host = probe.sample_ext()
+            beta_dev = tuple(dt.u64_of_pair(lo, hi) for lo, hi in betas_np[r])
+            if beta_host != beta_dev:
+                return None
+            commit_pows.append(w)
+        challenger.inner.input_buffer = probe.inner.input_buffer
+        challenger.inner.output_buffer = probe.inner.output_buffer
+        return caps, commit_pows
+
+    def _commit_phase_device_core(self, ro, schedule, log_max_ro, chain):
+        """Pure-device FRI commit phase: NO host sync, NO replay — the
+        caller owns both (the standalone path above; the whole-prove device
+        transcript does one global sync instead, prover._prove_dt).
+        Returns (caps_dev, ws_dev, betas_dev, oks_dev, commit_datas,
+        folded_final, log_size)."""
+        E = self.E
+        bits = self.fri.commit_proof_of_work_bits
 
         current = ro[log_max_ro]
         log_size = log_max_ro
@@ -936,7 +1037,6 @@ class TwoAdicFriPcs:
             ))
             ls = next_log
 
-        chain = jnp.asarray(entry)
         if log_max_ro < self._stage_fuse_log():
             # ALL rounds (round-0 commit + every grind/fold/commit) in ONE
             # program: the per-round kernels cost ~5-20 ms of dispatch each
@@ -1064,34 +1164,7 @@ class TwoAdicFriPcs:
                     caps_dev.append(layers[-1])
                 log_size = next_log
 
-        # the single sync: caps, witnesses, βs, validity flags together
-        caps_np, ws_np, betas_np, oks_np = jax.device_get(
-            (caps_dev, ws_dev, betas_dev, oks_dev)
-        )
-        if not all(bool(o) for o in oks_np):
-            return None  # grind miss or rejection-sampling draw: host fallback
-
-        # authoritative host replay on a clone; adopt its state on success
-        probe = challenger.clone()
-        caps: List[np.ndarray] = [
-            np.ascontiguousarray(np.asarray(c).T) for c in caps_np
-        ]
-        commit_pows: List[int] = []
-        for r in range(len(schedule)):
-            probe.observe_commitment(caps[r])
-            w = dt.u64_of_pair(*ws_np[r])
-            if not probe.check_witness(bits, w):
-                return None
-            beta_host = probe.sample_ext()
-            beta_dev = tuple(
-                dt.u64_of_pair(lo, hi) for lo, hi in betas_np[r]
-            )
-            if beta_host != beta_dev:
-                return None
-            commit_pows.append(w)
-        challenger.inner.input_buffer = probe.inner.input_buffer
-        challenger.inner.output_buffer = probe.inner.output_buffer
-        return caps, commit_datas, commit_pows, current, log_size
+        return caps_dev, ws_dev, betas_dev, oks_dev, commit_datas, current, log_size
 
     def _device_round_kernel(
         self, chain, cap, current, absorb, log_size, a_bits, next_a, shift, bits
@@ -1358,11 +1431,12 @@ class TwoAdicFriPcs:
         he, hf = self.he, self.hf
         fri = self.fri
 
-        for cap, mats in rounds:
-            for _, _, pts in mats:
-                for _, vals in pts:
-                    for v in vals:
-                        challenger.observe_ext(v)
+        if self.profile.fri_observe_claims_before_alpha:
+            for cap, mats in rounds:
+                for _, _, pts in mats:
+                    for _, vals in pts:
+                        for v in vals:
+                            challenger.observe_ext(v)
         alpha = challenger.sample_ext()
 
         log_max = max(
@@ -1423,20 +1497,32 @@ class TwoAdicFriPcs:
 
         mode = os.environ.get("MULTISTARK_VERIFY_MODE", "auto")
         batched = hasattr(self.mmcs.hasher, "np_hash_rows_batch") and mode != "perquery"
-        if batched:
-            self._verify_merkle_batched(
-                rounds, proof, indices, log_max, log_max_ro, schedule
-            )
-        if batched and self.hf.name in ("Goldilocks", "BabyBear"):
-            self._verify_queries_batched(
-                rounds, alpha, betas, proof, indices, log_max, log_max_ro, schedule
-            )
-        else:
-            for index, qp in zip(indices, proof.query_proofs):
-                self._verify_query(
-                    rounds, alpha, betas, proof, index, qp, log_max, log_max_ro,
-                    schedule, skip_merkle=batched,
+        # Adversarial-input hardening: the batched walks check shapes
+        # explicitly, but a malformed-yet-shape-passing proof (ragged rows,
+        # wrong dtypes, negative path lengths...) must surface as
+        # VerificationError, never an uncaught numpy exception (VERDICT r4
+        # weak #7; reference negative tests src/verifier.rs:852-912).
+        try:
+            if batched:
+                self._verify_merkle_batched(
+                    rounds, proof, indices, log_max, log_max_ro, schedule
                 )
+            if batched and self.hf.name in ("Goldilocks", "BabyBear"):
+                self._verify_queries_batched(
+                    rounds, alpha, betas, proof, indices, log_max, log_max_ro, schedule
+                )
+            else:
+                for index, qp in zip(indices, proof.query_proofs):
+                    self._verify_query(
+                        rounds, alpha, betas, proof, index, qp, log_max, log_max_ro,
+                        schedule, skip_merkle=batched,
+                    )
+        except VerificationError:
+            raise
+        except (ValueError, TypeError, IndexError, KeyError, OverflowError) as e:
+            raise VerificationError(
+                "InvalidProofShape", f"malformed proof ({type(e).__name__})"
+            ) from e
 
     def _verify_merkle_batched(self, rounds, proof, indices, log_max, log_max_ro, schedule):
         from .merkle import _mmcs_verify_batch_queries

@@ -73,7 +73,11 @@ class Proof:
         if config is None:
             return proof_to_bytes(self)
         field_bytes = 8 if config.host_field.p.bit_length() > 32 else 4
-        return proof_to_bytes(self, field_bytes, config.extension_params.degree)
+        profile = getattr(config, "transcript_profile", None)
+        return proof_to_bytes(
+            self, field_bytes, config.extension_params.degree,
+            profile.commit_pow_witness_placement if profile else "after_commits",
+        )
 
     @staticmethod
     def from_bytes(data: bytes, system: "System") -> "Proof":
@@ -272,9 +276,25 @@ def _quotient_chunk_coeffs(
 
     selectors = _selectors_device(config, trace_dom, qdom, log_n, q)
     # β, γ, acc_prev, acc_final, α in ONE upload; kernels unpack in-trace
-    from .utils import ext_pack, ext_unpack
+    from .utils import ext_pack
 
     packed = ext_pack(E, (beta, gamma, acc_prev, acc_final, alpha))
+    return _quotient_packed_path(config, circuit, log_n, q, raw, selectors, packed)
+
+
+def _quotient_packed_path(config, circuit, log_n, q, raw, selectors, packed):
+    """Device quotient path given the 5 transcript scalars pre-packed as a
+    (5, D)-plane device value (host ext_pack OR device ext_pack_device —
+    the whole-prove device transcript reuses the same cached kernels)."""
+    from .utils import cached_jit, ext_unpack
+
+    F, E = config.field, config.ext
+    hf = config.host_field
+    engine = get_engine(F)
+    n = 1 << log_n
+    m = n * q
+    log_m = log_n + (q.bit_length() - 1)
+    D = config.extension_params.degree
 
     def _unpack(pk):
         return tuple(ext_unpack(E, pk, i) for i in range(4)), ext_unpack(E, pk, 4)
@@ -331,14 +351,22 @@ def _quotient_chunk_coeffs(
 
 
 _SELECTOR_CACHE: dict = {}
+_SELECTOR_CACHE_MAX = 8  # LRU-bounded: 4 qdom-sized device arrays per key
+# would otherwise accumulate across distinct circuit sizes in one process
+# on an already memory-constrained chip
 
 
 def _selectors_device(config, trace_dom, qdom, log_n: int, q: int) -> dict:
     """Device-resident coset selectors, cached across proves (they depend
     only on the domain geometry; re-uploading them cost 4 host->device
-    transfers per circuit per prove)."""
+    transfers per circuit per prove).  Bounded to the last
+    _SELECTOR_CACHE_MAX (size, q) keys."""
     key = (config.host_field.p, log_n, q)
+    if key in _SELECTOR_CACHE:
+        _SELECTOR_CACHE[key] = _SELECTOR_CACHE.pop(key)  # refresh LRU order
     if key not in _SELECTOR_CACHE:
+        while len(_SELECTOR_CACHE) >= _SELECTOR_CACHE_MAX:
+            _SELECTOR_CACHE.pop(next(iter(_SELECTOR_CACHE)))
         F = config.field
         sel_np = trace_dom.selectors_on_coset(qdom)
         _SELECTOR_CACHE[key] = {

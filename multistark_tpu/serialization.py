@@ -197,14 +197,24 @@ def _read_batch_opening(r: _Reader) -> BatchOpening:
     return BatchOpening(opened_rows=rows, path=path)
 
 
-def _write_fri_proof(w: _Writer, fp):
-    """FRI proof in p3-fri's FriProof field order (see module doc)."""
-    w.u64(len(fp.commit_caps))
-    for cap in fp.commit_caps:
-        w.cap(cap)
+def _write_pows(w: _Writer, fp):
     w.u64(len(fp.commit_pow_witnesses))
     for pw in fp.commit_pow_witnesses:
         w.u64(pw)
+
+
+def _write_fri_proof(w: _Writer, fp, pow_placement: str = "after_commits"):
+    """FRI proof in p3-fri's FriProof field order (see module doc).
+
+    `pow_placement` is the TranscriptProfile.commit_pow_witness_placement
+    seam: where the fork-added Vec<u64> of commit-phase PoW witnesses sits
+    (not placeable from the reference source offline)."""
+    assert pow_placement in ("after_commits", "before_pow_witness", "after_pow_witness")
+    w.u64(len(fp.commit_caps))
+    for cap in fp.commit_caps:
+        w.cap(cap)
+    if pow_placement == "after_commits":
+        _write_pows(w, fp)
     w.u64(len(fp.query_proofs))
     for qp in fp.query_proofs:
         w.u64(len(qp.input_openings))
@@ -221,18 +231,26 @@ def _write_fri_proof(w: _Writer, fp):
     w.u64(len(fp.final_poly))
     for c in fp.final_poly:
         w.ext(c)
+    if pow_placement == "before_pow_witness":
+        _write_pows(w, fp)
     w.u64(fp.query_pow_witness)
+    if pow_placement == "after_pow_witness":
+        _write_pows(w, fp)
 
 
-def _read_fri_proof(r: _Reader, D: int):
+def _read_pows(r: _Reader):
+    n_pows = r.u64()
+    _guard(n_pows, 64)
+    return [r.u64() for _ in range(n_pows)]
+
+
+def _read_fri_proof(r: _Reader, D: int, pow_placement: str = "after_commits"):
     from .pcs import FriProof, QueryProof
 
     n_caps = r.u64()
     _guard(n_caps, 64)
     commit_caps = [r.cap() for _ in range(n_caps)]
-    n_pows = r.u64()
-    _guard(n_pows, 64)
-    commit_pows = [r.u64() for _ in range(n_pows)]
+    commit_pows = _read_pows(r) if pow_placement == "after_commits" else None
     n_queries = r.u64()
     _guard(n_queries, 1 << 16)
     query_proofs = []
@@ -259,7 +277,11 @@ def _read_fri_proof(r: _Reader, D: int):
     n_final = r.u64()
     _guard(n_final)
     final_poly = [r.ext(D) for _ in range(n_final)]
+    if pow_placement == "before_pow_witness":
+        commit_pows = _read_pows(r)
     query_pow = r.u64()
+    if pow_placement == "after_pow_witness":
+        commit_pows = _read_pows(r)
     return FriProof(
         commit_caps=commit_caps,
         commit_pow_witnesses=commit_pows,
@@ -269,10 +291,14 @@ def _read_fri_proof(r: _Reader, D: int):
     )
 
 
-def proof_to_bytes(proof, field_bytes: int = 8, ext_degree: int | None = None) -> bytes:
+def proof_to_bytes(
+    proof, field_bytes: int = 8, ext_degree: int | None = None,
+    pow_placement: str = "after_commits",
+) -> bytes:
     """Serialize in the Rust Proof struct's bincode field order
     (prover.rs:215-238; see module doc).  `field_bytes` is the base-field
-    serialized width (8 for Goldilocks, 4 for BabyBear)."""
+    serialized width (8 for Goldilocks, 4 for BabyBear); `pow_placement`
+    is the TranscriptProfile seam for commit_pow_witnesses."""
     w = _Writer(field_bytes)
     D = ext_degree or (
         len(proof.intermediate_accumulators[0]) if proof.intermediate_accumulators else 2
@@ -289,7 +315,7 @@ def proof_to_bytes(proof, field_bytes: int = 8, ext_degree: int | None = None) -
     w.u64(len(proof.log_degrees))
     for ld in proof.log_degrees:
         w.u8(ld)
-    _write_fri_proof(w, proof.fri_proof)
+    _write_fri_proof(w, proof.fri_proof, pow_placement)
     _write_opened(w, proof.quotient_opened, D)
     # preprocessed is Option<OpenedValuesForRound> in the Rust struct
     if proof.preprocessed_opened:
@@ -308,10 +334,14 @@ def proof_from_bytes(data: bytes, system) -> "Proof":
     cfg = getattr(system, "config", None)
     field_bytes = 8
     D = 2
+    pow_placement = "after_commits"
     if cfg is not None:
         field_bytes = (cfg.host_field.p.bit_length() + 7) // 8
         field_bytes = 8 if field_bytes > 4 else 4
         D = cfg.extension_params.degree
+        profile = getattr(cfg, "transcript_profile", None)
+        if profile is not None:
+            pow_placement = profile.commit_pow_witness_placement
     r = _Reader(data, field_bytes)
     n_circuits = r.u64()
     _guard(n_circuits)
@@ -325,7 +355,7 @@ def proof_from_bytes(data: bytes, system) -> "Proof":
     n_ld = r.u64()
     _guard(n_ld)
     log_degrees = [r.u8() for _ in range(n_ld)]
-    fri_proof = _read_fri_proof(r, D)
+    fri_proof = _read_fri_proof(r, D, pow_placement)
     q_opened = _read_opened(r, D)
     pre_tag = r.u8()
     if pre_tag not in (0, 1):

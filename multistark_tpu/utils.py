@@ -74,9 +74,80 @@ def cached_jit(key, make_fn):
     if fn is None:
         fn = make_fn()
         if jit_enabled():
-            fn = jax.jit(fn)
+            fn = hoisted_jit(fn)
         _JIT_CACHE[key] = fn
     return fn
+
+
+def _hoist_enabled() -> bool:
+    import os
+
+    return os.environ.get("MULTISTARK_HOIST", "1") not in ("0", "false", "off")
+
+
+def hoisted_jit(fn):
+    """jax.jit with closure-constant hoisting.
+
+    Kernel bodies capture large precomputed tables (NTT twiddle stages,
+    bit-reverse index arrays, coset x tables, selector vectors) as trace-time
+    constants; jax lowers those into the StableHLO module as dense literals.
+    At 2^18 traces the fused stage-commit program reached ~14 MB of MLIR
+    (mostly twiddles), which OOM-killed the axon remote compile helper and
+    made every compile pay serialization + constant-folding over megabytes.
+
+    This wrapper traces the body once per input signature (jax.make_jaxpr),
+    pulls the captured array constants out of the jaxpr, uploads them to
+    device ONCE, and re-invokes the jaxpr under jit with the constants as
+    runtime ARGUMENTS — the lowered module is then a few hundred KB of pure
+    code, identical math, and the same compiled program is reused across
+    proofs.  MULTISTARK_HOIST=0 falls back to plain jax.jit."""
+    if not _hoist_enabled():
+        return jax.jit(fn)
+    import jax.core as jcore
+
+    cache: dict = {}
+
+    def wrapper(*args):
+        flat, in_tree = jax.tree_util.tree_flatten(args)
+        if any(isinstance(l, jcore.Tracer) for l in flat):
+            # nested call inside another traced kernel (e.g. batch_inv
+            # inside a fused stage body): inline — the outer program traces
+            # it; a make_jaxpr here would capture outer tracers as consts
+            return fn(*args)
+        sig = (
+            in_tree,
+            tuple(
+                (np.shape(l), np.result_type(l).str, bool(getattr(l, "weak_type", False)))
+                for l in flat
+            ),
+        )
+        entry = cache.get(sig)
+        if entry is None:
+            closed, out_shape = jax.make_jaxpr(
+                lambda *fl: fn(*jax.tree_util.tree_unflatten(in_tree, fl)),
+                return_shape=True,
+            )(*flat)
+            if any(isinstance(c, jcore.Tracer) for c in closed.consts):
+                # some ambient trace leaked into the constants: do not cache
+                return fn(*args)
+            out_tree = jax.tree_util.tree_structure(out_shape)
+            # one device_put per constant, reused by every later call
+            consts = [
+                c if isinstance(c, jax.Array) else jax.device_put(np.asarray(c))
+                for c in closed.consts
+            ]
+            jaxpr = closed.jaxpr
+
+            def run(cs, *fl):
+                out_flat = jcore.eval_jaxpr(jaxpr, cs, *fl)
+                return jax.tree_util.tree_unflatten(out_tree, out_flat)
+
+            entry = (jax.jit(run), consts)
+            cache[sig] = entry
+        jitted, consts = entry
+        return jitted(consts, *flat)
+
+    return wrapper
 
 
 def np_mirrors_enabled() -> bool:
@@ -326,6 +397,8 @@ def ext_pack(E, vals):
     tunnel (round-4 probe); a prove uploads ~25 transcript scalars, so hot
     kernels take one packed argument and unpack IN-TRACE via ext_unpack."""
     p = E.base.host.p
+    vals = list(vals)
+    assert vals, "ext_pack needs at least one value (a (0,)-shaped pack would break ext_unpack)"
     arr = np.asarray([[int(c) % p for c in v] for v in vals], np.uint64)
     return E.base.from_np(arr)
 
@@ -339,3 +412,30 @@ def ext_unpack(E, packed, i: int):
 
 def base_scalar(F, v: int):
     return F.from_np(np.uint64(v))
+
+
+def ext_pack_device(E, vals):
+    """Device counterpart of ext_pack: k DEVICE ext scalars (each a
+    coord-major tuple of plane tuples, the `ext_scalar` format) -> the
+    (k, D)-plane packed structure ext_unpack expects.  Pure device ops (a
+    few stacks), so packed transcript scalars can be built from
+    DeviceDuplex draws without a host sync."""
+    import jax.numpy as jnp
+
+    D = E.D
+    nplanes = E.base.num_planes
+    planes = []
+    for p in range(nplanes):
+        rows = [
+            jnp.stack([jnp.asarray(v[d][p]).reshape(()) for d in range(D)])
+            for v in vals
+        ]
+        planes.append(jnp.stack(rows))
+    return tuple(planes)
+
+
+def ext_scale_base_device(E, v, c: int):
+    """Device ext scalar v (coord-major plane tuples) times a HOST base
+    constant c — used for the ζ·g opening points in the device-transcript
+    prove."""
+    return tuple(E.base.mul(coord, E.base.const(c, ())) for coord in v)

