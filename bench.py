@@ -289,14 +289,13 @@ def main():
         headline_key = f"{msg_kib}KiB"
         metric = f"blake3_hasher_{msg_kib}KiB_prove_wall"
     else:
-        # default sweep: on TPU include 2^18 (the largest size that fits the
-        # chip today — 2^20 is blocked by the Merkle digest layers' (h, 8)
-        # minor-dim tile padding, 16x memory at 2^22 leaves; see
-        # docs/STATUS.md §Known gaps for the planned plane-layout fix); the
-        # CPU fallback stays at 2^14 so a tunnel outage still yields a
-        # bounded, clearly-labelled capture
+        # default sweep: on TPU 2^14 (reference bench size) + 2^18 + the
+        # 2^20 north star (BASELINE.json); smallest first so a harness
+        # timeout still leaves complete captures on stdout.  The CPU
+        # fallback stays at 2^14 so a tunnel outage yields a bounded,
+        # clearly-labelled capture
         default_sizes = os.environ.get(
-            "BENCH_LOG_N", "14,18" if backend == "tpu" else "14"
+            "BENCH_LOG_N", "14,18,20" if backend == "tpu" else "14"
         )
         size_list = [
             int(s) for s in os.environ.get("BENCH_SIZES", default_sizes).split(",")

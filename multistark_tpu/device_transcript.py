@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -179,30 +180,120 @@ def _parent_cv(left, right, is_root: bool):
 def _host_cv_to_planes(cv) -> tuple:
     return tuple(jnp.asarray(np.uint32(w)).reshape(1) for w in cv)
 
+def _np_compress_ctr(cv, block, ctr_lo, ctr_hi, block_len, flags):
+    """np_compress_batch with PER-LANE counters (host chunk-CV precompute)."""
+    from .hash.blake3 import MSG_PERM, _np_g
+
+    u = np.uint32
+    B = cv[0].shape[0]
+    st = list(cv) + [
+        np.full(B, IV[0], u), np.full(B, IV[1], u),
+        np.full(B, IV[2], u), np.full(B, IV[3], u),
+        np.asarray(ctr_lo, u).copy(), np.asarray(ctr_hi, u).copy(),
+        np.full(B, block_len, u), np.full(B, flags, u),
+    ]
+    m = list(block)
+    for _ in range(7):
+        _np_g(st, 0, 4, 8, 12, m[0], m[1])
+        _np_g(st, 1, 5, 9, 13, m[2], m[3])
+        _np_g(st, 2, 6, 10, 14, m[4], m[5])
+        _np_g(st, 3, 7, 11, 15, m[6], m[7])
+        _np_g(st, 0, 5, 10, 15, m[8], m[9])
+        _np_g(st, 1, 6, 11, 12, m[10], m[11])
+        _np_g(st, 2, 7, 8, 13, m[12], m[13])
+        _np_g(st, 3, 4, 9, 14, m[14], m[15])
+        m = [m[p] for p in MSG_PERM]
+    return [st[i] ^ st[i + 8] for i in range(8)]
+
+
+def _np_chunk_cvs_all(buf: bytes, n_chunks: int) -> np.ndarray:
+    """Non-root chunk CVs (counters 0..n_chunks-1) of a padded byte buffer,
+    vectorized over chunks.  The LAST chunk may be short; it runs in its own
+    1-lane pass (different block count/len/flags)."""
+    total = len(buf)
+    padded = buf + b"\x00" * (n_chunks * CHUNK_LEN - total)
+    words = np.frombuffer(padded, dtype="<u4").reshape(n_chunks, 256)
+
+    def cvs_for(rows, counters, nbytes):
+        B = rows.shape[0]
+        n_blocks = max(1, (nbytes + BLOCK_LEN - 1) // BLOCK_LEN)
+        cv = [np.full(B, IV[i], np.uint32) for i in range(8)]
+        for b in range(n_blocks):
+            flags = (CHUNK_START if b == 0 else 0) | (
+                CHUNK_END if b == n_blocks - 1 else 0
+            )
+            blen = min(BLOCK_LEN, nbytes - b * BLOCK_LEN)
+            cv = _np_compress_ctr(
+                cv, [rows[:, 16 * b + i] for i in range(16)],
+                counters, np.zeros(B, np.uint32), blen, flags,
+            )
+        return np.stack(cv, axis=1)
+
+    last_bytes = total - (n_chunks - 1) * CHUNK_LEN
+    if n_chunks == 1:
+        return cvs_for(words, np.zeros(1, np.uint32), last_bytes)
+    out = np.empty((n_chunks, 8), np.uint32)
+    out[:-1] = cvs_for(
+        words[:-1], np.arange(n_chunks - 1, dtype=np.uint32), CHUNK_LEN
+    )
+    out[-1:] = cvs_for(
+        words[-1:], np.full(1, n_chunks - 1, np.uint32), last_bytes
+    )
+    return out
+
+
+def _np_parent_level(cvs: np.ndarray) -> np.ndarray:
+    """One parent level: combine adjacent CV pairs (PARENT flag, non-root),
+    odd last node carries up unchanged.  Level-wise adjacent pairing with
+    odd-carry is exactly BLAKE3's left-largest-power-of-two tree (pinned by
+    the DeviceDuplex parity tests against blake3_hash)."""
+    n = cvs.shape[0]
+    pairs = n // 2
+    left, right = cvs[0 : 2 * pairs : 2], cvs[1 : 2 * pairs : 2]
+    cv = [np.full(pairs, IV[i], np.uint32) for i in range(8)]
+    block = [left[:, i] for i in range(8)] + [right[:, i] for i in range(8)]
+    out = _np_compress_ctr(
+        cv, block, np.zeros(pairs, np.uint32), np.zeros(pairs, np.uint32),
+        BLOCK_LEN, PARENT,
+    )
+    out = np.stack(out, axis=1)
+    if n % 2:
+        out = np.concatenate([out, cvs[-1:]], axis=0)
+    return out
+
+
+from .hash.blake3 import CHUNK_END, CHUNK_START  # noqa: E402  (flag consts)
+
 
 class DeviceDuplex:
     """Device mirror of ByteHashChallenger (challenger.py:74-108) for the
     whole prove schedule.
 
-    Segments observed since the last flush are either host bytes or device
-    parts; a device part is a flat u32 array whose words are the
-    little-endian bytes of the observed value (digest caps, canonical-u64
-    field values).  ``flush`` computes blake3(chain ‖ segments) on device
-    with the chunk-precompute trick above; ``sample_ext`` pops u64 draws
-    from the digest end exactly like SerializingChallenger64 and returns
-    device (lo, hi) scalar pairs plus a validity flag (False on a ≥p
-    rejection draw, which the device does not model — caller falls back).
+    Observation records segments WITHOUT touching the device: host bytes
+    verbatim, device values as raw references (flat word arrays, (8, k)
+    Merkle cap layers, ext-scalar coordinate tuples).  ``flush`` runs ONE
+    cached jitted program per buffer layout: the host precomputes the chunk
+    CVs and full parent-tree levels of the (host-known) buffer natively,
+    and the device program splices the device bytes into their 1-3 chunks,
+    hashes those, and recombines the root path — O(log n_chunks) device
+    compressions regardless of buffer size (the β/γ flush carries the
+    megabyte claims prefix at 2^18+).  Draw extraction happens inside the
+    same program, so a flush costs one pipelined dispatch + two small
+    uploads.
 
-    The byte schedule is validated end-to-end by the host replay in
-    prover._replay_device_transcript; unit-pinned against the host duplex
-    in tests/test_device_transcript.py."""
+    ``sample_ext`` pops u64 draws from the digest end exactly like
+    SerializingChallenger64 and returns device (lo, hi) scalar pairs; a ≥p
+    rejection draw (which the device does not model) flips the
+    corresponding entry of ``valids`` — the caller ANDs them in its single
+    sync and falls back.  Pinned against the host duplex on randomized
+    schedules in tests/test_device_transcript.py."""
 
     def __init__(self):
         self.chain = None  # device (8,) u32 digest words, or None pre-first-flush
-        self.segments: list = []  # ('h', bytearray) | ('d', flat (k,) u32 device)
-        self.valid = None  # device bool scalar; None == vacuously true
+        self.segments: list = []  # ('h', bytearray) | ('d', kind, ref, nbytes)
+        self.valids: list = []  # device bool scalars, one per consumed draw
         self._draws_left = 0
-        self._digest = None
+        self._draws = None  # tuple of 4 ((lo, hi, ok)) scalar refs
 
     # -- observation -------------------------------------------------------
     def observe_bytes(self, data: bytes) -> None:
@@ -218,58 +309,238 @@ class DeviceDuplex:
     def observe_words_device(self, words) -> None:
         """words: flat (k,) u32 device array = 4k observed bytes."""
         self._draws_left = 0
-        self.segments.append(("d", words.reshape(-1)))
+        self.segments.append(("d", "words", words, 4 * int(words.shape[-1])))
 
     def observe_cap_device(self, cap_layer) -> None:
-        """cap: the tree's top digest layer — an (8, k) words-major device
-        array (merkle layer format) OR a tuple of 8 (k,) planes → the byte
-        stream digest₀‖digest₁‖…, each digest 8 LE words.  Matches
-        SerializingChallenger64.observe_commitment (challenger.py:135-138)."""
+        """cap: a tree's top digest layer — (8, k) words-major device array
+        (merkle layer format) or a tuple of 8 (k,) planes — observed as the
+        byte stream digest₀‖digest₁‖…, 8 LE words each, matching
+        SerializingChallenger64.observe_commitment."""
+        self._draws_left = 0
         if isinstance(cap_layer, (tuple, list)):
-            cap_layer = jnp.stack([p.reshape(-1) for p in cap_layer])
-        from .merkle import digest_planes_words
-
-        self.observe_words_device(digest_planes_words(cap_layer))
+            k = int(jax.tree.leaves(cap_layer[0])[0].shape[-1]) if hasattr(
+                cap_layer[0], "shape"
+            ) else int(np.shape(cap_layer[0])[-1])
+            self.segments.append(("d", "capplanes", tuple(cap_layer), 32 * k))
+        else:
+            k = int(cap_layer.shape[-1])
+            self.segments.append(("d", "cap", cap_layer, 32 * k))
 
     def observe_ext_device(self, coords) -> None:
         """One extension value: D coords of (lo, hi) u32 device scalars,
-        observed as canonical u64 LE each (observe_field semantics — values
-        are already canonical by construction on device)."""
-        words = []
-        for lo, hi in coords:
-            words.append(jnp.asarray(lo, jnp.uint32).reshape(1))
-            words.append(jnp.asarray(hi, jnp.uint32).reshape(1))
-        self.observe_words_device(jnp.concatenate(words))
+        observed as canonical u64 LE each."""
+        self._draws_left = 0
+        self.segments.append(("d", "ext", tuple(coords), 8 * len(coords)))
 
     # -- flush -------------------------------------------------------------
-    def _flush(self):
-        """digest = blake3(chain_bytes ‖ segment bytes); chain := digest."""
-        # assemble the byte layout: host template + device splice list
-        layout: list = []  # (byte_off, 'h', bytes) | (byte_off, 'd', dev_words)
+    def _layout(self):
+        """(sig, layout) — layout = [(off, 'h', bytes) | (off, 'd', kind, ref)]."""
+        layout = []
+        sig = []
         off = 0
         if self.chain is not None:
-            layout.append((off, "d", self.chain))
+            layout.append((off, "d", "words", self.chain))
+            sig.append(("d", "words", 32))
             off += 32
-        for kind, seg in self.segments:
-            if kind == "h":
-                layout.append((off, "h", bytes(seg)))
-                off += len(seg)
+        for seg in self.segments:
+            if seg[0] == "h":
+                b = bytes(seg[1])
+                layout.append((off, "h", None, b))
+                sig.append(("h", len(b)))
+                off += len(b)
             else:
-                layout.append((off, "d", seg))
-                off += 4 * int(seg.shape[0])
-        total = off
-        digest = _spliced_blake3(layout, total)
+                _, kind, ref, nbytes = seg
+                layout.append((off, "d", kind, ref))
+                sig.append(("d", kind, nbytes))
+                off += nbytes
+        return tuple(sig), layout, off
+
+    def _flush(self):
+        from .utils import cached_jit
+
+        sig, layout, total = self._layout()
+        n_chunks = max(1, (total + CHUNK_LEN - 1) // CHUNK_LEN)
+
+        # host byte image (zeros at device positions) + device runs
+        buf = bytearray(total)
+        dev_runs = []  # (byte_off, arg_index, kind, nbytes)
+        dev_refs = []
+        dev_nbytes = [s[2] for s in sig if s[0] == "d"]
+        for off, kind_tag, kind, data in layout:
+            if kind_tag == "h":
+                buf[off : off + len(data)] = data
+            else:
+                dev_runs.append(
+                    (off, len(dev_refs), kind, dev_nbytes[len(dev_refs)])
+                )
+                dev_refs.append(data)
+
+        if not dev_runs:
+            # pure-host flush (unit tests only): hash on host, keep the API
+            from .hash.blake3 import blake3_hash
+
+            digest = np.frombuffer(blake3_hash(bytes(buf)), dtype="<u4").copy()
+            self.chain = jnp.asarray(digest)
+            draws = []
+            for k in range(4):
+                lo = int(digest[7 - 2 * k])
+                hi = int(digest[6 - 2 * k])
+                lo, hi = _bswap_int(lo), _bswap_int(hi)
+                ok = (hi != 0xFFFFFFFF) or (lo == 0)
+                draws.append((np.uint32(lo), np.uint32(hi), bool(ok)))
+            self._draws = tuple(draws)
+            self.segments = []
+            self._draws_left = 4
+            return
+
+        # device chunks + byte-splice plan (all static from sig)
+        dev_chunks = sorted({
+            c
+            for off, _, _, nbytes in dev_runs
+            for c in range(off // CHUNK_LEN, (off + nbytes - 1) // CHUNK_LEN + 1)
+        })
+        chunk_pos = {c: t for t, c in enumerate(dev_chunks)}
+        splices = {t: [] for t in range(len(dev_chunks))}
+        for off, idx, kind, nbytes in dev_runs:
+            pos = off
+            part_off = 0
+            while part_off < nbytes:
+                c = pos // CHUNK_LEN
+                take = min(nbytes - part_off, CHUNK_LEN - pos % CHUNK_LEN)
+                splices[chunk_pos[c]].append(
+                    (pos % CHUNK_LEN, idx, part_off, take)
+                )
+                pos += take
+                part_off += take
+
+        # host precompute: all chunk CVs + parent levels (device slots
+        # garbage); only the root-path SIBLING CVs upload (≤ 2 per level)
+        host_cvs = _np_chunk_cvs_all(bytes(buf), n_chunks)
+        levels = [host_cvs]
+        while levels[-1].shape[0] > 1:
+            levels.append(_np_parent_level(levels[-1]))
+        need: list = []  # (level, index) of host siblings on the root path
+        cur_idx = set(dev_chunks)
+        count, level = n_chunks, 0
+        while count > 1:
+            pairs, odd = count // 2, count % 2
+            nxt = set()
+            for p in range(pairs):
+                li, ri = 2 * p, 2 * p + 1
+                if li in cur_idx or ri in cur_idx:
+                    if li not in cur_idx:
+                        need.append((level, li))
+                    if ri not in cur_idx:
+                        need.append((level, ri))
+                    nxt.add(p)
+            if odd and (count - 1) in cur_idx:
+                nxt.add(pairs)
+            cur_idx, count, level = nxt, pairs + odd, level + 1
+        sib_slot = {pos: s for s, pos in enumerate(need)}
+        host_sibs = (
+            np.stack([levels[lvl][i] for (lvl, i) in need])
+            if need else np.zeros((0, 8), np.uint32)
+        )
+
+        chunk_meta = tuple(
+            (c, min(CHUNK_LEN, total - c * CHUNK_LEN)) for c in dev_chunks
+        )
+        kinds = tuple((kind, nb) for _, _, kind, nb in dev_runs)
+        key = ("dt_flush", sig, total)
+
+        def mk(_meta=chunk_meta, _spl=splices, _n=n_chunks, _kinds=kinds,
+               _slots=tuple(sorted(sib_slot.items()))):
+            _slot = dict(_slots)
+
+            def f(templates, host_levels, devs):
+                # 1. flatten device refs to word vectors
+                flats = []
+                for (kind, nb), ref in zip(_kinds, devs):
+                    if kind == "words":
+                        flats.append(ref.reshape(-1))
+                    elif kind == "cap":
+                        flats.append(jnp.transpose(ref).reshape(-1))
+                    elif kind == "capplanes":
+                        flats.append(
+                            jnp.stack([p.reshape(-1) for p in ref], axis=1).reshape(-1)
+                        )
+                    else:  # ext: coords of (lo, hi) scalars
+                        ws = []
+                        for lo, hi in ref:
+                            ws.append(jnp.asarray(lo, jnp.uint32).reshape(1))
+                            ws.append(jnp.asarray(hi, jnp.uint32).reshape(1))
+                        flats.append(jnp.concatenate(ws))
+                # 2. device chunk CVs (byte-atom splicing into the template)
+                m8 = np.uint32(0xFF)
+                cur = {}
+                for t, (ci, nbytes_c) in enumerate(_meta):
+                    cols = [templates[t, i].reshape(1) for i in range(256)]
+                    for chunk_off, idx, part_off, take in _spl[t]:
+                        dev = flats[idx]
+                        for b in range(take):
+                            src = part_off + b
+                            dst = chunk_off + b
+                            byte = (dev[src // 4] >> np.uint32(8 * (src % 4))) & m8
+                            cols[dst // 4] = cols[dst // 4] | (
+                                (byte << np.uint32(8 * (dst % 4))).reshape(1)
+                            )
+                    cur[ci] = _dev_chunk_cv(cols, nbytes_c, ci, root=(_n == 1))
+                # 3. parent-tree root path (host siblings from the level args)
+                count = _n
+                level = 0
+                while count > 1:
+                    pairs = count // 2
+                    odd = count % 2
+                    nxt = {}
+                    for pidx in range(pairs):
+                        li, ri = 2 * pidx, 2 * pidx + 1
+                        if li in cur or ri in cur:
+                            lcv = cur.get(li) or [
+                                host_levels[_slot[(level, li)], w].reshape(1)
+                                for w in range(8)
+                            ]
+                            rcv = cur.get(ri) or [
+                                host_levels[_slot[(level, ri)], w].reshape(1)
+                                for w in range(8)
+                            ]
+                            nxt[pidx] = _parent_cv(
+                                lcv, rcv, is_root=(pairs + odd == 1)
+                            )
+                    if odd and (count - 1) in cur:
+                        nxt[pairs] = cur[count - 1]
+                    cur = nxt
+                    count = pairs + odd
+                    level += 1
+                root = cur[0]
+                digest = jnp.stack([w.reshape(()) for w in root])
+                draws = []
+                for k in range(4):
+                    lo = bswap32(digest[7 - 2 * k])
+                    hi = bswap32(digest[6 - 2 * k])
+                    draws.append((lo, hi, draw_lt_p(lo, hi)))
+                return digest, tuple(draws)
+
+            return f
+
+        kern = cached_jit(key, mk)
+        templates = np.stack([
+            np.frombuffer(
+                bytes(buf[c * CHUNK_LEN : (c + 1) * CHUNK_LEN]).ljust(CHUNK_LEN, b"\x00"),
+                dtype="<u4",
+            )
+            for c in dev_chunks
+        ])
+        digest, draws = kern(templates, host_sibs, tuple(dev_refs))
+        self.chain = digest
+        self._draws = draws
         self.segments = []
-        self.chain = jnp.stack([d.reshape(()) for d in digest])
-        self._digest = digest
         self._draws_left = 4
 
     def sample_ext(self, D: int):
-        """D canonical u64 draws as device (lo, hi) pairs + validity.
-        Draw k of a digest is (bswap32(w[7-2k]), bswap32(w[6-2k]))
-        (pop-from-end; device_transcript.digest_draws).  The prove schedule
-        always observes between samples, so draws never span two digests
-        for D ≤ 4 (asserted)."""
+        """D canonical u64 draws as device (lo, hi) pairs.  Draw k of a
+        digest is (bswap32(w[7-2k]), bswap32(w[6-2k])) (pop-from-end).  The
+        prove schedule always observes between samples, so draws never span
+        two digests for D ≤ 4 (asserted)."""
         assert 1 <= D <= 4
         if self._draws_left < D:
             self._flush()
@@ -277,120 +548,56 @@ class DeviceDuplex:
         assert start + D <= 4, "draws would span digests (schedule bug)"
         coords = []
         for k in range(start, start + D):
-            lo = bswap32(self._digest[7 - 2 * k].reshape(()))
-            hi = bswap32(self._digest[6 - 2 * k].reshape(()))
-            ok = draw_lt_p(lo, hi)
-            self.valid = ok if self.valid is None else (self.valid & ok)
+            lo, hi, ok = self._draws[k]
+            if not (ok is True):
+                self.valids.append(ok)
             coords.append((lo, hi))
         self._draws_left -= D
         return tuple(coords)
 
+    @property
+    def valid(self):
+        """Conjunction of every rejection-sampling check so far: a device
+        bool scalar (or True when no device draw happened).  Evaluate it in
+        the caller's single sync."""
+        if not self.valids:
+            return jnp.asarray(True)
+        v = self.valids[0]
+        for o in self.valids[1:]:
+            v = v & o
+        return v
+
     def entry_words(self):
-        """The duplex state for the FRI commit phase
-        (pcs._commit_phase_device consumes a flat word buffer = input bytes
-        so far).  Only valid when every pending segment is device/aligned —
-        the prove schedule guarantees the buffer here is exactly
-        [chain ‖ q-cap words...] (all word-aligned)."""
-        parts = []
-        if self.chain is not None:
-            parts.append(self.chain.reshape(-1))
-        for kind, seg in self.segments:
-            if kind == "h":
-                b = bytes(seg)
-                if len(b) % 4 != 0:
-                    return None
-                parts.append(jnp.asarray(np.frombuffer(b, dtype="<u4").copy()))
-            else:
-                parts.append(seg.reshape(-1))
-        return jnp.concatenate(parts) if parts else None
+        """The duplex state for the FRI commit phase (a flat word buffer =
+        input bytes so far).  In the prove schedule this is called right
+        after a flush, when the buffer is exactly the 32-byte chain."""
+        if self.segments:
+            parts = []
+            if self.chain is not None:
+                parts.append(self.chain.reshape(-1))
+            for seg in self.segments:
+                if seg[0] == "h":
+                    b = bytes(seg[1])
+                    if len(b) % 4 != 0:
+                        return None
+                    parts.append(jnp.asarray(np.frombuffer(b, dtype="<u4").copy()))
+                elif seg[1] == "words":
+                    parts.append(seg[2].reshape(-1))
+                elif seg[1] == "cap":
+                    parts.append(jnp.transpose(seg[2]).reshape(-1))
+                elif seg[1] == "capplanes":
+                    parts.append(
+                        jnp.stack([p.reshape(-1) for p in seg[2]], axis=1).reshape(-1)
+                    )
+                else:  # ext
+                    ws = []
+                    for lo, hi in seg[2]:
+                        ws.append(jnp.asarray(lo, jnp.uint32).reshape(1))
+                        ws.append(jnp.asarray(hi, jnp.uint32).reshape(1))
+                    parts.append(jnp.concatenate(ws))
+            return jnp.concatenate(parts) if parts else None
+        return None if self.chain is None else self.chain.reshape(-1)
 
 
-def _spliced_blake3(layout, total: int):
-    """blake3 over a byte stream given as (byte_off, 'h'|'d', data) runs;
-    host-only chunks hash natively on host, device-containing chunks hash on
-    device via byte-atom splicing, the parent tree compresses host CVs as
-    constants.  Returns a list of 8 shape-(1,) u32 device planes."""
-    n_chunks = max(1, (total + CHUNK_LEN - 1) // CHUNK_LEN)
-
-    # per chunk: host template bytes + device splices
-    host_tpl = [bytearray(min(CHUNK_LEN, total - c * CHUNK_LEN)) for c in range(n_chunks)]
-    splices: list = [[] for _ in range(n_chunks)]  # (chunk_byte_off, dev, part_byte_off, nbytes)
-    has_dev = [False] * n_chunks
-    for off, kind, data in layout:
-        if kind == "h":
-            for i, b in enumerate(data):
-                p = off + i
-                host_tpl[p // CHUNK_LEN][p % CHUNK_LEN] = b
-        else:
-            nbytes = 4 * int(data.shape[0])
-            pos = off
-            part_off = 0
-            while part_off < nbytes:
-                c = pos // CHUNK_LEN
-                take = min(nbytes - part_off, CHUNK_LEN - pos % CHUNK_LEN)
-                splices[c].append((pos % CHUNK_LEN, data, part_off, take))
-                has_dev[c] = True
-                pos += take
-                part_off += take
-
-    if n_chunks == 1:
-        cv = _chunk_cv_mixed(host_tpl[0], splices[0], 0, total, root=True)
-        if isinstance(cv, np.ndarray):  # no device bytes at all (tests only)
-            return list(_host_cv_to_planes(cv))
-        return cv
-
-    cvs = []
-    for c in range(n_chunks):
-        if has_dev[c]:
-            cvs.append(
-                _chunk_cv_mixed(
-                    host_tpl[c], splices[c], c, len(host_tpl[c]), root=False
-                )
-            )
-        else:
-            cvs.append(np.asarray(_chunk_cv(bytes(host_tpl[c]), c, root=False), np.uint32))
-    root = _tree_mixed(cvs, is_root=True)
-    if isinstance(root, np.ndarray):
-        return list(_host_cv_to_planes(root))
-    return root
-
-
-def _chunk_cv_mixed(template: bytearray, chunk_splices, counter: int, n_bytes: int, root: bool):
-    """Chunk CV with device byte runs spliced into a host template.
-    Purely-host chunks return a host np (8,) CV."""
-    if not chunk_splices:
-        return np.asarray(_chunk_cv(bytes(template), counter, root=root), np.uint32)
-    tpl = bytes(template) + b"\x00" * (CHUNK_LEN - len(template))
-    tpl_words = np.frombuffer(tpl, dtype="<u4")
-    cols = [jnp.asarray(tpl_words[i]).reshape(1) for i in range(256)]
-    m8 = np.uint32(0xFF)
-    for chunk_off, dev, part_off, nbytes in chunk_splices:
-        dev = dev.reshape(-1)
-        for b in range(nbytes):
-            src = part_off + b
-            dst = chunk_off + b
-            byte = (dev[src // 4] >> np.uint32(8 * (src % 4))) & m8
-            cols[dst // 4] = cols[dst // 4] | (byte << np.uint32(8 * (dst % 4))).reshape(1)
-    return _dev_chunk_cv(cols, n_bytes, counter, root)
-
-
-def _tree_mixed(cvs, is_root: bool):
-    """Parent tree over mixed host(np)/device CVs: host-only subtrees stay
-    host; a device CV anywhere on the path promotes the combine to device."""
-    n = len(cvs)
-    if n == 1:
-        return cvs[0]
-    split = _left_len(n)
-    left = _tree_mixed(cvs[:split], is_root=False)
-    right = _tree_mixed(cvs[split:], is_root=False)
-    if isinstance(left, np.ndarray) and isinstance(right, np.ndarray):
-        from .hash.blake3 import compress as _host_compress
-
-        block = [int(w) for w in left] + [int(w) for w in right]
-        flags = PARENT | (ROOT if is_root else 0)
-        return np.asarray(
-            _host_compress(IV, block, 0, BLOCK_LEN, flags)[:8], np.uint32
-        )
-    lp = _host_cv_to_planes(left) if isinstance(left, np.ndarray) else left
-    rp = _host_cv_to_planes(right) if isinstance(right, np.ndarray) else right
-    return _parent_cv(lp, rp, is_root)
+def _bswap_int(x: int) -> int:
+    return int.from_bytes(int(x).to_bytes(4, "big"), "little")

@@ -560,15 +560,7 @@ class TwoAdicFriPcs:
             # ONE program for every matrix's claimed evaluations (per-matrix
             # kernels cost ~5-20 ms of dispatch each through the tunnel)
             sig = tuple((w, ln, len(pts)) for _, _, _, pts, w, ln in merged)
-            kern = cached_jit(
-                ("pcs_eval_all", self.F.name, sig),
-                lambda _sig=sig: lambda ms, zps: [
-                    self._eval_kernel(
-                        m_, tuple(ext_unpack(E, zp, i) for i in range(k)), ln
-                    )
-                    for (m_, zp), (w_, ln, k) in zip(zip(ms, zps), _sig)
-                ],
-            )
+            kern = self._eval_all_kern(sig)
             outs = kern(
                 tuple(m for _, _, m, _, _, _ in merged),
                 tuple(ext_pack(E, pts) for _, _, _, pts, _, _ in merged),
@@ -594,6 +586,47 @@ class TwoAdicFriPcs:
                 round_vals.append(mat_vals)
             opened.append(round_vals)
         return opened
+
+    def _eval_all_kern(self, sig):
+        """Cached merged claimed-evaluations program for a static signature
+        [(w, log_n, n_points)]; shared by the host-transcript open and the
+        whole-prove device transcript (same key → same compiled program)."""
+        E = self.E
+        return cached_jit(
+            ("pcs_eval_all", self.F.name, sig),
+            lambda _sig=sig: lambda ms, zps: [
+                self._eval_kernel(
+                    m_, tuple(ext_unpack(E, zp, i) for i in range(k)), ln
+                )
+                for (m_, zp), (w_, ln, k) in zip(zip(ms, zps), _sig)
+            ],
+        )
+
+    def _ro_all_kern(self, sig, out_heights):
+        """Cached merged reduced-openings program for a static signature
+        [(w, n_points, log_lde)] and descending output heights; shared with
+        the device-transcript open."""
+        E = self.E
+
+        def mk(_sig=sig, _hs=tuple(out_heights)):
+            def f(ms, vds, apds, zps):
+                acc = {}
+                for (m_, vd, apd, zp), (w_, k, ll) in zip(
+                    zip(ms, vds, apds, zps), _sig
+                ):
+                    contrib = self._ro_kernel(
+                        m_, vd,
+                        tuple(ext_unpack(E, zp, i) for i in range(k)),
+                        tuple(tuple(pl[:, d] for pl in apd) for d in range(E.D)),
+                        tuple(ext_unpack(E, zp, k + i) for i in range(k)),
+                        ll,
+                    )
+                    acc[ll] = contrib if ll not in acc else E.add(acc[ll], contrib)
+                return tuple(acc[h] for h in _hs)
+
+            return f
+
+        return cached_jit(("pcs_ro_all", self.F.name, sig), mk)
 
     def _reduced_openings(self, rounds, dev_vals, alpha):
         """Step C: reduced openings per LDE height (device, bitrev order).
@@ -649,26 +682,7 @@ class TwoAdicFriPcs:
                 (e[2].shape[0], len(e[4]), e[5]) for e in merged
             )  # (w, k, log_lde)
             out_heights = sorted({e[5] for e in merged}, reverse=True)
-
-            def mk(_sig=sig, _hs=tuple(out_heights)):
-                def f(ms, vds, apds, zps):
-                    acc = {}
-                    for (m_, vd, apd, zp), (w_, k, ll) in zip(
-                        zip(ms, vds, apds, zps), _sig
-                    ):
-                        contrib = self._ro_kernel(
-                            m_, vd,
-                            tuple(ext_unpack(E, zp, i) for i in range(k)),
-                            tuple(tuple(pl[:, d] for pl in apd) for d in range(E.D)),
-                            tuple(ext_unpack(E, zp, k + i) for i in range(k)),
-                            ll,
-                        )
-                        acc[ll] = contrib if ll not in acc else E.add(acc[ll], contrib)
-                    return tuple(acc[h] for h in _hs)
-
-                return f
-
-            kern = cached_jit(("pcs_ro_all", self.F.name, sig), mk)
+            kern = self._ro_all_kern(sig, out_heights)
             outs = kern(
                 tuple(e[0] for e in merged),
                 tuple(e[1] for e in merged),

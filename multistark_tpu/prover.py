@@ -96,6 +96,16 @@ def prove_multiple_claims(
     system: System, key: ProverKey, witness: SystemWitness, claims: Sequence[Sequence[int]]
 ) -> Proof:
     config = system.config
+    # whole-prove device transcript (dt_prover): every Fiat-Shamir
+    # interaction on device, 2 blocking syncs per prove; host replay is
+    # authoritative and any divergence falls through to the path below,
+    # so proof bytes are identical either way
+    from . import dt_prover
+
+    if dt_prover.eligible(config):
+        proof = dt_prover.prove_device_transcript(system, key, witness, claims)
+        if proof is not None:
+            return proof
     F, E = config.field, config.ext
     hf, he = config.host_field, config.host_ext
     pcs = config.pcs
