@@ -184,6 +184,29 @@ def analytic_ops(system, heights):
     return ntt, hashes
 
 
+def _warm_transfer_path():
+    """The axon client pays a one-time ~350 s init on a process's FIRST
+    device->host value fetch (r4 probes; re-measured ~340-990 s this round
+    under load).  Kick it off on a daemon thread at case start so it
+    overlaps the multi-minute compile phase instead of serializing after
+    it."""
+    import threading
+
+    def fetch():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            jax.device_get(jnp.zeros(8, jnp.uint32))
+            log("[warm] transfer-path init done")
+        except Exception as e:  # best-effort
+            log(f"[warm] transfer-path init failed: {e}")
+
+    t = threading.Thread(target=fetch, daemon=True)
+    t.start()
+    return t
+
+
 def run_case(label: str, config, system, key, traces, claims, iters: int):
     import jax
 
@@ -192,6 +215,7 @@ def run_case(label: str, config, system, key, traces, claims, iters: int):
     from multistark_tpu.system import SystemWitness
     from multistark_tpu.verifier import verify_multiple_claims
 
+    _warm_transfer_path()
     t0 = time.time()
     witness = SystemWitness.from_stage_1(traces, system, key)
     jax.block_until_ready(witness.traces[0])

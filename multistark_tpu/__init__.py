@@ -30,4 +30,19 @@ if _os.environ.get("MULTISTARK_PLATFORM"):
 
     _jax.config.update("jax_platforms", _os.environ["MULTISTARK_PLATFORM"])
 
+_cache_dir = _os.environ.get("MULTISTARK_JAX_CACHE", "/tmp/multistark_jax_cache")
+if _cache_dir and _cache_dir != "0":
+    # persistent compiled-program cache for EVERY process importing the
+    # package (the ProverKey analog for executables, SURVEY.md §5): a cold
+    # full-prove compile through the axon remote-compile tunnel is tens of
+    # minutes, and cross-process cache hits on the axon backend are
+    # verified to work (round-5 probe: second process compile 0.53 s ->
+    # 0.06 s with an explicit 'Persistent compilation cache hit').
+    # MULTISTARK_JAX_CACHE=0 disables; a non-default path relocates.
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 from .config import CommitmentParameters, FriParameters  # noqa: F401

@@ -286,46 +286,203 @@ class NttEngine:
         )
 
     def _dit_impl(self, x, tw):
-        """DIT stages: bit-reversed input -> natural output."""
-        for t in tw:  # ascending stage order
-            x = self._dit_stage(x, t)
+        """DIT stages: bit-reversed input -> natural output.  Stage triples
+        fuse into radix-8 kernels like _dif_stages (same policy, same
+        bit-identical-composition argument)."""
+        stages = list(tw)  # ascending
+        i = 0
+        r8 = self._radix8_enabled()
+        while i < len(stages):
+            if r8 and i + 3 <= len(stages):
+                x = self._dit_stage3(x, stages[i], stages[i + 1], stages[i + 2])
+                i += 3
+            else:
+                x = self._dit_stage(x, stages[i])
+                i += 1
         return x
+
+    def _dit_stage3(self, x, tA, tB, tC):
+        """Three consecutive DIT stages (halves q, 2q, 4q) fused as one
+        radix-8 kernel over blocks of m = 8q:
+          stage A pairs (u, u+1), twiddle tA[t]
+          stage B pairs (u, u+2) within half-blocks, twiddle tB[(u%2)·q + t]
+          stage C pairs (u, u+4), twiddle tC[u·q + t]  (u < 4)"""
+        F = self.F
+        lead = jax.tree.leaves(x)[0].shape[:-1]
+        n = jax.tree.leaves(x)[0].shape[-1]
+        groups = int(np.prod(lead, dtype=np.int64)) if lead else 1
+        q = jax.tree.leaves(tA)[0].shape[-1]
+        m = 8 * q
+        k = groups * (n // m)
+
+        xr = jax.tree.map(lambda a: a.reshape(k, 8, q), x)
+        s = [
+            jax.tree.map(lambda v, _u=u: v[:, _u, :].reshape(-1), xr)
+            for u in range(8)
+        ]
+
+        def tw(tab, lo_idx):
+            return jax.tree.map(
+                lambda v, _i=lo_idx: jnp.broadcast_to(
+                    v.reshape(-1)[_i : _i + q], (k, q)
+                ).reshape(-1),
+                tab,
+            )
+
+        # stage A: adjacent pairs
+        y = [None] * 8
+        tAf = tw(tA, 0)
+        for u in range(0, 8, 2):
+            t = F.mul(s[u + 1], tAf)
+            y[u] = F.add(s[u], t)
+            y[u + 1] = F.sub(s[u], t)
+        # stage B: pairs (u, u+2) within half-blocks
+        z = [None] * 8
+        for base in (0, 4):
+            for u in range(2):
+                t = F.mul(y[base + u + 2], tw(tB, u * q))
+                z[base + u] = F.add(y[base + u], t)
+                z[base + u + 2] = F.sub(y[base + u], t)
+        # stage C: pairs (u, u+4)
+        o = [None] * 8
+        for u in range(4):
+            t = F.mul(z[u + 4], tw(tC, u * q))
+            o[u] = F.add(z[u], t)
+            o[u + 4] = F.sub(z[u], t)
+        return jax.tree.map(
+            lambda *slots: jnp.stack(
+                [p.reshape(k, q) for p in slots], axis=1
+            ).reshape(lead + (n,)),
+            *o,
+        )
 
     def _dif_impl(self, x, tw):
         """DIF stages: natural input -> bit-reversed output."""
         return self._dif_stages(x, tuple(reversed(tw)))
 
-    def _dif_stages(self, x, tw_desc):
+    def _dif_stages(self, x, tw_desc, fuse=None):
         """Apply DIF butterfly stages in the given order; each stage's
         geometry derives from its twiddle length (half = len(t), block
         m = 2·half).  Passing a SUFFIX of the stage list applies only the
         fine stages — the device-local part of a row-sharded transform
         (parallel.py), where the coarse stages run with cyclically sharded
-        twiddle tables."""
+        twiddle tables.
+
+        Consecutive stage TRIPLES run as one fused radix-8 kernel when the
+        jitted radix-8 policy is on: a lone radix-2 stage is HBM-bound (one
+        full read+write of the array per stage), and XLA does not fuse
+        across the stack/reshape between stages — grouping three stages
+        keeps the intermediate butterflies in registers, cutting the memory
+        passes of a 22-stage LDE from 22 to 8.  The radix-8 kernel composes
+        EXACTLY the same field ops per element (same twiddle values from
+        the same per-stage tables, same add/sub/mul order), so outputs are
+        bit-identical to the stage-at-a-time path and the np mirrors."""
+        i = 0
+        stages = list(tw_desc)
+        r8 = self._radix8_enabled() if fuse is None else fuse
+        while i < len(stages):
+            if r8 and i + 3 <= len(stages) and (
+                jax.tree.leaves(stages[i + 2])[0].shape[-1] >= 1
+            ):
+                x = self._dif_stage3(x, stages[i], stages[i + 1], stages[i + 2])
+                i += 3
+            else:
+                x = self._dif_stage1(x, stages[i])
+                i += 1
+        return x
+
+    @staticmethod
+    def _radix8_enabled() -> bool:
+        import os
+
+        from ..utils import jit_enabled
+
+        v = os.environ.get("MULTISTARK_RADIX8")
+        if v is not None:
+            return v not in ("0", "false", "off")
+        return jit_enabled()
+
+    def _dif_stage1(self, x, t):
+        """One DIF butterfly stage (the radix-2 building block)."""
         F = self.F
         lead = jax.tree.leaves(x)[0].shape[:-1]
         n = jax.tree.leaves(x)[0].shape[-1]
         groups = int(np.prod(lead, dtype=np.int64)) if lead else 1
-        for t in tw_desc:
-            half = jax.tree.leaves(t)[0].shape[-1]
-            m = 2 * half
-            k = groups * (n // m)
-            xr = jax.tree.map(lambda a: a.reshape(k, 2, half), x)
-            a = jax.tree.map(lambda v: v[:, 0, :].reshape(-1), xr)
-            b = jax.tree.map(lambda v: v[:, 1, :].reshape(-1), xr)
-            twf = jax.tree.map(
-                lambda v: jnp.broadcast_to(v.reshape(-1), (k, half)).reshape(-1), t
+        half = jax.tree.leaves(t)[0].shape[-1]
+        m = 2 * half
+        k = groups * (n // m)
+        xr = jax.tree.map(lambda a: a.reshape(k, 2, half), x)
+        a = jax.tree.map(lambda v: v[:, 0, :].reshape(-1), xr)
+        b = jax.tree.map(lambda v: v[:, 1, :].reshape(-1), xr)
+        twf = jax.tree.map(
+            lambda v: jnp.broadcast_to(v.reshape(-1), (k, half)).reshape(-1), t
+        )
+        lo = F.add(a, b)
+        hi = F.mul(F.sub(a, b), twf)
+        return jax.tree.map(
+            lambda p, q: jnp.stack(
+                [p.reshape(k, half), q.reshape(k, half)], axis=1
+            ).reshape(lead + (n,)),
+            lo,
+            hi,
+        )
+
+    def _dif_stage3(self, x, t1, t2, t3):
+        """Three consecutive DIF stages (halves 4q, 2q, q) fused as one
+        radix-8 kernel over blocks of m = 8q.  Slot u holds positions
+        [u·q, (u+1)·q) of each block; twiddle slices come from the SAME
+        per-stage tables as the radix-2 path:
+          stage 1 pairs (u, u+4), twiddle t1[u·q + t]   (u < 4)
+          stage 2 pairs (u, u+2) within half-blocks, twiddle t2[(u%2)·q + t]
+          stage 3 pairs (u, u+1), twiddle t3[t]"""
+        F = self.F
+        lead = jax.tree.leaves(x)[0].shape[:-1]
+        n = jax.tree.leaves(x)[0].shape[-1]
+        groups = int(np.prod(lead, dtype=np.int64)) if lead else 1
+        q = jax.tree.leaves(t3)[0].shape[-1]
+        m = 8 * q
+        k = groups * (n // m)
+
+        def flat(v):
+            return v.reshape(-1)
+
+        xr = jax.tree.map(lambda a: a.reshape(k, 8, q), x)
+        s = [jax.tree.map(lambda v, _u=u: flat(v[:, _u, :]), xr) for u in range(8)]
+
+        def tw(tab, lo_idx):
+            return jax.tree.map(
+                lambda v, _i=lo_idx: jnp.broadcast_to(
+                    v.reshape(-1)[_i : _i + q], (k, q)
+                ).reshape(-1),
+                tab,
             )
-            lo = F.add(a, b)
-            hi = F.mul(F.sub(a, b), twf)
-            x = jax.tree.map(
-                lambda p, q: jnp.stack(
-                    [p.reshape(k, half), q.reshape(k, half)], axis=1
-                ).reshape(lead + (n,)),
-                lo,
-                hi,
-            )
-        return x
+
+        # stage 1: halves 4q — pairs (u, u+4), twiddle slice t1[u·q : (u+1)·q]
+        y = [None] * 8
+        for u in range(4):
+            a, b = s[u], s[u + 4]
+            y[u] = F.add(a, b)
+            y[u + 4] = F.mul(F.sub(a, b), tw(t1, u * q))
+        # stage 2: halves 2q — within each 4-slot half-block
+        z = [None] * 8
+        for base in (0, 4):
+            for u in range(2):
+                a, b = y[base + u], y[base + u + 2]
+                z[base + u] = F.add(a, b)
+                z[base + u + 2] = F.mul(F.sub(a, b), tw(t2, u * q))
+        # stage 3: halves q — adjacent pairs
+        o = [None] * 8
+        t3f = tw(t3, 0)
+        for u in range(0, 8, 2):
+            a, b = z[u], z[u + 1]
+            o[u] = F.add(a, b)
+            o[u + 1] = F.mul(F.sub(a, b), t3f)
+        return jax.tree.map(
+            lambda *slots: jnp.stack(
+                [p.reshape(k, q) for p in slots], axis=1
+            ).reshape(lead + (n,)),
+            *o,
+        )
 
     def _scale(self, x, c: int):
         shape = jax.tree.leaves(x)[0].shape

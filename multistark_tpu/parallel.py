@@ -158,7 +158,8 @@ def sharded_dif(engine, pm: ProverMesh, x, log_n: int, inverse: bool):
         # twiddle slices (geometry derives from table length)
         y = jax.tree.map(lambda a: a.reshape(a.shape[0], J), xl)
         y = engine._dif_stages(
-            y, [jax.tree.map(lambda t: t.reshape(-1), t_) for t_ in twc]
+            y, [jax.tree.map(lambda t: t.reshape(-1), t_) for t_ in twc],
+            fuse=False,  # cyclic-table geometry: keep the audited radix-2 path
         )
         return jax.tree.map(lambda a: a.reshape(a.shape[0], J, 1), y)
 
@@ -174,7 +175,7 @@ def sharded_dif(engine, pm: ProverMesh, x, log_n: int, inverse: bool):
         # (the big transform's low-stage tables ARE the size-D tables:
         # g_D^{D/m} = g_n^{n/m}); local flat (j', r) -> storage positions
         # j'·D + r: block-contiguous
-        y = engine._dif_stages(xl, twf)
+        y = engine._dif_stages(xl, twf, fuse=False)
         return jax.tree.map(lambda a: a.reshape(a.shape[0], J), y)
 
     spec_cyc = jax.tree.map(lambda _: P(None, None, axis), x_view)

@@ -122,3 +122,44 @@ class TestBabyBearNtt:
         for i in range(coeffs.shape[1] - 1, -1, -1):
             acc = npref.bb_add(npref.bb_mul(acc, np.uint64(BABYBEAR.generator)), coeffs[:, i])
         np.testing.assert_array_equal(lde[:, 0], acc)
+
+
+class TestRadix8Fusion:
+    """The fused radix-8 stage triples (ntt._dif_stage3/_dit_stage3) must be
+    value-identical to the radix-2 chain and the np mirrors at every size
+    and parity of log_n (remainder stages), forward and inverse."""
+
+    def test_dif_dit_radix8_match_mirrors(self, monkeypatch):
+        import os
+
+        monkeypatch.setenv("MULTISTARK_RADIX8", "1")
+        from multistark_tpu.fields.device import GL_OPS
+        from multistark_tpu.ntt.ntt import get_engine
+
+        eng = get_engine(GL_OPS)
+        rng = np.random.default_rng(88)
+        for log_n in range(1, 11):
+            n = 1 << log_n
+            x = rng.integers(0, GOLDILOCKS.p, (3, n), dtype=np.uint64)
+            for inverse in (False, True):
+                tw = tuple(eng._twiddles(log_n, inverse))
+                got_dif = GL_OPS.to_np(eng._dif_impl(GL_OPS.from_np(x), tw))
+                want_dif = eng._dif_np(x.copy(), log_n, inverse)
+                assert np.array_equal(got_dif, want_dif), (log_n, inverse, "dif")
+                got_dit = GL_OPS.to_np(eng._dit_impl(GL_OPS.from_np(x), tw))
+                want_dit = eng._dit_np(x.copy(), log_n, inverse)
+                assert np.array_equal(got_dit, want_dit), (log_n, inverse, "dit")
+
+    def test_radix8_roundtrip(self, monkeypatch):
+        monkeypatch.setenv("MULTISTARK_RADIX8", "1")
+        from multistark_tpu.fields.device import GL_OPS
+        from multistark_tpu.ntt.ntt import get_engine
+
+        eng = get_engine(GL_OPS)
+        rng = np.random.default_rng(89)
+        for log_n in (6, 9):
+            n = 1 << log_n
+            x = rng.integers(0, GOLDILOCKS.p, (2, n), dtype=np.uint64)
+            evals = eng.dft_natural(GL_OPS.from_np(x), log_n)
+            back = GL_OPS.to_np(eng.idft_natural(evals, log_n))
+            assert np.array_equal(back, x)
