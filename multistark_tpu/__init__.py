@@ -30,7 +30,43 @@ if _os.environ.get("MULTISTARK_PLATFORM"):
 
     _jax.config.update("jax_platforms", _os.environ["MULTISTARK_PLATFORM"])
 
-_cache_dir = _os.environ.get("MULTISTARK_JAX_CACHE", "/tmp/multistark_jax_cache")
+def _default_cache_dir() -> str:
+    # CPU executables AOT-cached with mismatched machine features can
+    # SIGILL on load (observed this round: '+prefer-no-gather is not
+    # supported on the host machine'), so CPU runs get their own dir and
+    # the TPU dir holds only remote-compiled TPU executables.
+    plat = _os.environ.get("MULTISTARK_PLATFORM", "")
+    if not plat:
+        try:
+            import jax as _j
+
+            plat = _j.config.jax_platforms or ""
+        except Exception:
+            plat = ""
+    # the axon plugin registers "axon,cpu": the FIRST entry is the backend
+    # jax will actually select
+    first = plat.split(",")[0].strip() if plat else ""
+    if first != "cpu":
+        return "/tmp/multistark_jax_cache"
+    # fingerprint the host's CPU features: this VM gets rescheduled onto
+    # different physical CPUs across sessions, and an entry AOT-compiled
+    # for the wrong feature set SIGILLs on load
+    try:
+        import hashlib
+
+        flags = ""
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = line
+                    break
+        fp = hashlib.sha256(flags.encode()).hexdigest()[:8]
+    except Exception:
+        fp = "generic"
+    return f"/tmp/multistark_jax_cache_cpu_{fp}"
+
+
+_cache_dir = _os.environ.get("MULTISTARK_JAX_CACHE", _default_cache_dir())
 if _cache_dir and _cache_dir != "0":
     # persistent compiled-program cache for EVERY process importing the
     # package (the ProverKey analog for executables, SURVEY.md §5): a cold

@@ -44,7 +44,7 @@ from .challenger import SerializingChallenger64, _canonical_claims_array
 from .challenger import observe_claims as _observe_claims_host
 from .device_transcript import DeviceDuplex, u64_of_pair
 from .profiling import span
-from .utils import cached_jit, ext_pack_device, ext_scale_base_device
+from .utils import cached_jit, ext_pack_device
 
 
 def _env_on(name: str, default: str = "1") -> bool:
@@ -111,22 +111,59 @@ class _Fallback(Exception):
     pass
 
 
-def _observe_eval_values_dd(dd: DeviceDuplex, E, vals):
-    """Observe one matrix/point's claimed values (coord-major tuple of base
-    (w,) values) exactly like the host loop: per column, per coordinate,
-    canonical u64 LE."""
-    D = E.D
-    los = jnp.stack([jnp.asarray(vals[d][0]) for d in range(D)], axis=1)  # (w, D)
-    his = jnp.stack([jnp.asarray(vals[d][1]) for d in range(D)], axis=1)
-    words = jnp.stack([los, his], axis=2).reshape(-1)  # c-major, d, (lo, hi)
-    dd.observe_words_device(words)
+def _zps_kern(E, F, spec):
+    """ONE program turning the device ζ into every matrix's packed opening
+    points: spec = per-matrix tuples of ('z',) | ('zg', g) (g = the trace
+    domain's generator for the ζ·g point).  Returns (k, D)-plane packs in
+    matrix order, consumed by both the eval and the ro kernels."""
+    from multistark_tpu.utils import _ext_pack_device_impl
+
+    def mk(_spec=spec):
+        def f(zeta):
+            packs = []
+            for mat_spec in _spec:
+                pts = []
+                for p in mat_spec:
+                    if p[0] == "z":
+                        pts.append(zeta)
+                    else:
+                        pts.append(E.scale(zeta, F.const(p[1], ())))
+                packs.append(_ext_pack_device_impl(E, pts))
+            return tuple(packs)
+
+        return f
+
+    return cached_jit((E.name, "dt_zps", spec), mk)
 
 
-def _reduced_openings_dt(pcs, rounds, dev_vals, alpha_d):
+def _obs_words_kern(E, sig):
+    """ONE program flattening every matrix/point's claimed values into the
+    duplex observation byte order (per matrix, per point, per column, per
+    coordinate, u64 LE) — a single flat u32 word vector."""
+
+    def mk(_sig=sig):
+        def f(outs):
+            D = E.D
+            parts = []
+            for mat_out, (w, ln, k) in zip(outs, _sig):
+                for p_idx in range(k):
+                    vals = mat_out[p_idx]  # coords tuple of base (w,) values
+                    los = jnp.stack([jnp.asarray(vals[d][0]) for d in range(D)], axis=1)
+                    his = jnp.stack([jnp.asarray(vals[d][1]) for d in range(D)], axis=1)
+                    parts.append(jnp.stack([los, his], axis=2).reshape(-1))
+            return jnp.concatenate(parts)
+
+        return f
+
+    return cached_jit((E.name, "dt_obs_words", sig), mk)
+
+
+def _reduced_openings_dt(pcs, rounds, dev_vals, alpha_d, zpack_by_rm):
     """pcs._reduced_openings with a DEVICE α: the per-matrix α-power
     matrices and packed (points ‖ −α^off) scalars come from ONE device
-    program; the merged ro kernel itself is byte-identical to the host
-    path's (same cache key)."""
+    program (reusing the zps packs built for the eval kernel); the merged
+    ro kernel itself is byte-identical to the host path's (same cache
+    key)."""
     E, F = pcs.E, pcs.F
     D = E.D
     merged = []
@@ -141,7 +178,7 @@ def _reduced_openings_dt(pcs, rounds, dev_vals, alpha_d):
             aoff_exps = tuple(off + k * w for k in range(len(points)))
             merged.append(
                 (data.mmcs_data.mats[m_idx], dev_vals[r_idx][m_idx], points,
-                 w, log_lde, aoff_exps)
+                 w, log_lde, aoff_exps, zpack_by_rm[(r_idx, m_idx)])
             )
             offsets[log_lde] = off + w * len(points)
     if not merged:
@@ -193,8 +230,7 @@ def _reduced_openings_dt(pcs, rounds, dev_vals, alpha_d):
 
     kern_sc = cached_jit((E.name, "dt_ro_scalars", sig_sc), mk_scalars)
     apds, zps = kern_sc(
-        ext_pack_device(E, (alpha_d,)),
-        tuple(ext_pack_device(E, e[2]) for e in merged),
+        ext_pack_device(E, (alpha_d,)), tuple(e[6] for e in merged)
     )
 
     sig_ro = tuple((e[3], len(e[2]), e[4]) for e in merged)
@@ -360,28 +396,24 @@ def _prove_dt(system, key, witness, claims):
 
         zeta_d = dd.sample_ext(D)
 
-        # opening rounds with DEVICE points (prover.rs:539-580 structure)
+        # opening rounds with POINT SPECS (prover.rs:539-580 structure);
+        # the device ζ / ζ·g values only materialize inside the zps kernel
+        def _two_pt_spec(c_idx):
+            log_n = witness.heights[c_idx].bit_length() - 1
+            return (("z",), ("zg", hf.two_adic_generator(log_n)))
+
         rounds = []
         if key.preprocessed_data is not None:
             pre_points = []
             for c_idx, p_idx in enumerate(system.preprocessed_index):
                 if p_idx is None:
                     continue
-                if active[c_idx]:
-                    log_n = witness.heights[c_idx].bit_length() - 1
-                    g = hf.two_adic_generator(log_n)
-                    pre_points.append([zeta_d, ext_scale_base_device(E, zeta_d, g)])
-                else:
-                    pre_points.append([])
+                pre_points.append(_two_pt_spec(c_idx) if active[c_idx] else ())
             rounds.append((key.preprocessed_data, pre_points))
-        two_pt = []
-        for i in active_idx:
-            log_n = witness.heights[i].bit_length() - 1
-            g = hf.two_adic_generator(log_n)
-            two_pt.append([zeta_d, ext_scale_base_device(E, zeta_d, g)])
+        two_pt = [_two_pt_spec(i) for i in active_idx]
         rounds.append((s1_data, two_pt))
-        rounds.append((s2_data, [list(p) for p in two_pt]))
-        rounds.append((q_data, [[zeta_d] for _ in active_idx]))
+        rounds.append((s2_data, list(two_pt)))
+        rounds.append((q_data, [(("z",),) for _ in active_idx]))
 
         # -- open: claimed evaluations (device z packs, observed into dd)
         with span("stark/fri_open"):
@@ -402,24 +434,26 @@ def _prove_dt(system, key, witness, claims):
                         round_dev.append(None)
                     dev_vals.append(round_dev)
                 sig_ev = tuple((w, ln, len(pts)) for _, _, _, pts, w, ln in merged_ev)
+                zspec = tuple(pts for _, _, _, pts, _, _ in merged_ev)
+                zpacks = _zps_kern(E, F, zspec)(zeta_d)
                 outs = pcs._eval_all_kern(sig_ev)(
-                    tuple(m for _, _, m, _, _, _ in merged_ev),
-                    tuple(ext_pack_device(E, pts) for _, _, _, pts, _, _ in merged_ev),
+                    tuple(m for _, _, m, _, _, _ in merged_ev), zpacks
                 )
                 for (ri, mi, *_), out_v in zip(merged_ev, outs):
                     dev_vals[ri][mi] = out_v
-                # observe all claimed values in host replay order
-                for round_dev, (data, points_list) in zip(dev_vals, rounds):
-                    for m_idx, points in enumerate(points_list):
-                        if not points:
-                            continue
-                        for p_idx in range(len(points)):
-                            _observe_eval_values_dd(dd, E, round_dev[m_idx][p_idx])
+                # observe all claimed values in host replay order (one
+                # flattening program + one duplex segment)
+                dd.observe_words_device(_obs_words_kern(E, sig_ev)(outs))
 
             alpha_fri_d = dd.sample_ext(D)
 
             with span("stark/fri_open/ro"):
-                ro = _reduced_openings_dt(pcs, rounds, dev_vals, alpha_fri_d)
+                zpack_by_rm = {
+                    (ri, mi): zp for (ri, mi, *_), zp in zip(merged_ev, zpacks)
+                }
+                ro = _reduced_openings_dt(
+                    pcs, rounds, dev_vals, alpha_fri_d, zpack_by_rm
+                )
             if not ro:
                 raise _Fallback("no reduced openings")
             log_max = max(data.log_max_lde for data, _ in rounds)
@@ -443,10 +477,10 @@ def _prove_dt(system, key, witness, claims):
                 "accs": accs_dev, "vals": dev_vals,
                 "beta": beta_d, "gamma": gamma_d, "alpha": alpha_d,
                 "zeta": zeta_d, "alpha_fri": alpha_fri_d,
-                "valid": dd.valid,
+                "valid": tuple(dd.valids),  # ANDed on host (no eager chain)
                 "fri": (caps_dev, ws_dev, betas_dev, oks_dev),
             })
-            if not bool(fetched["valid"]):
+            if not all(bool(v) for v in fetched["valid"]):
                 raise _Fallback("rejection-sampling draw on device")
 
             # ---- authoritative host replay ---------------------------------

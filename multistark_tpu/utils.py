@@ -417,9 +417,18 @@ def base_scalar(F, v: int):
 def ext_pack_device(E, vals):
     """Device counterpart of ext_pack: k DEVICE ext scalars (each a
     coord-major tuple of plane tuples, the `ext_scalar` format) -> the
-    (k, D)-plane packed structure ext_unpack expects.  Pure device ops (a
-    few stacks), so packed transcript scalars can be built from
-    DeviceDuplex draws without a host sync."""
+    (k, D)-plane packed structure ext_unpack expects.  Runs as ONE cached
+    program per k (each eager jnp op costs ~5 ms of dispatch through the
+    axon tunnel), so packed transcript scalars come from DeviceDuplex
+    draws with a single dispatch and no host sync."""
+    vals = tuple(vals)
+    return cached_jit(
+        (E.name, "ext_pack_dev", len(vals)),
+        lambda _E=E: lambda vs: _ext_pack_device_impl(_E, vs),
+    )(vals)
+
+
+def _ext_pack_device_impl(E, vals):
     import jax.numpy as jnp
 
     D = E.D

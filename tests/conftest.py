@@ -12,6 +12,5 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # persistent jit cache: prove-pipeline compiles dominate test wall time
-jax.config.update("jax_compilation_cache_dir", "/tmp/multistark_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# persistent cache config comes from the package import (CPU dirs are
+# fingerprinted by host CPU features: mismatched AOT loads can SIGILL)

@@ -20,8 +20,8 @@ os.environ["MULTISTARK_JIT"] = "1"
 sys.path.insert(0, {root!r})
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/multistark_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# persistent cache config comes from the package import (CPU dirs are
+# fingerprinted by host CPU features: mismatched AOT loads can SIGILL)
 import numpy as np
 from multistark_tpu.config import CommitmentParameters, FriParameters
 from multistark_tpu.configs import GoldilocksBlake3Config
