@@ -48,22 +48,13 @@ def _default_cache_dir() -> str:
     first = plat.split(",")[0].strip() if plat else ""
     if first != "cpu":
         return "/tmp/multistark_jax_cache"
-    # fingerprint the host's CPU features: this VM gets rescheduled onto
-    # different physical CPUs across sessions, and an entry AOT-compiled
-    # for the wrong feature set SIGILLs on load
-    try:
-        import hashlib
-
-        flags = ""
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    flags = line
-                    break
-        fp = hashlib.sha256(flags.encode()).hexdigest()[:8]
-    except Exception:
-        fp = "generic"
-    return f"/tmp/multistark_jax_cache_cpu_{fp}"
+    # NO persistent cache on the CPU backend by default: XLA:CPU AOT
+    # executable serialization intermittently SEGFAULTS in this jaxlib
+    # (observed twice in the round-5 suite, writing an 8-device sharded
+    # eager op's entry), and entries AOT-compiled on a different physical
+    # CPU can SIGILL on load (this VM migrates).  CPU runs are eager np
+    # mirrors anyway; opt back in with MULTISTARK_JAX_CACHE=<dir>.
+    return ""
 
 
 _cache_dir = _os.environ.get("MULTISTARK_JAX_CACHE", _default_cache_dir())
@@ -78,7 +69,14 @@ if _cache_dir and _cache_dir != "0":
     import jax as _jax
 
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
-    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    if _cache_dir.startswith("/tmp/multistark_jax_cache_cpu"):
+        # conservative on CPU: writing tiny eager-op entries pushes every
+        # op through XLA:CPU AOT serialization, which intermittently
+        # SEGFAULTS in this jaxlib (observed in the round-5 test suite);
+        # only the prove-pipeline compiles (>0.5 s) are worth caching
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    else:
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 from .config import CommitmentParameters, FriParameters  # noqa: F401

@@ -17,6 +17,10 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SCRIPT = r"""
 import os, sys
 os.environ["MULTISTARK_JIT"] = "1"
+# jitted-CPU pipeline: opt back into the persistent cache (single-device
+# executables; the sharded-write segfault does not apply) or every run
+# recompiles for ~minutes
+os.environ["MULTISTARK_JAX_CACHE"] = "/tmp/multistark_jax_cache_cpujit"
 sys.path.insert(0, {root!r})
 import jax
 jax.config.update("jax_platforms", "cpu")

@@ -194,7 +194,33 @@ class TestMeshProveWithLookups:
         """The full bench system (U32Add + preprocessed ByteTable,
         cross-circuit lookups, claims) proves BYTE-IDENTICALLY under the
         row mesh — covers sharded LDE/Merkle for preprocessed commits and
-        mixed heights, not just the simple mul circuit above."""
+        mixed heights, not just the simple mul circuit above.
+
+        Runs in a SUBPROCESS: after a few hundred compiled executables
+        accumulate in a long suite run, XLA:CPU's compiler intermittently
+        SEGFAULTS on this test's 8-device eager pjit compiles (observed
+        3x this round at exactly this test, never in isolation); a fresh
+        process sidesteps the state buildup and a crash surfaces as a
+        test failure instead of killing the whole suite."""
+        import os
+        import subprocess
+        import sys
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-k",
+             "u32_add_byte_identical_inner",
+             os.path.join(root, "tests", "test_parallel.py")],
+            capture_output=True, text=True, timeout=1200,
+            env={**os.environ, "MULTISTARK_MESH_INNER": "1"},
+        )
+        assert out.returncode == 0, (out.stdout[-2000:] + out.stderr[-2000:])
+
+    @pytest.mark.skipif(
+        not __import__("os").environ.get("MULTISTARK_MESH_INNER"),
+        reason="inner half of the subprocess-isolated mesh test",
+    )
+    def test_u32_add_byte_identical_inner(self, pm):
         from multistark_tpu.test_circuits import u32_add_system_inputs, u32_add_witness
 
         config = GoldilocksBlake3Config(
