@@ -274,20 +274,41 @@ def run_case(label: str, config, system, key, traces, claims, iters: int):
 def _run_size_subprocess(log_n: int, iters: int) -> dict:
     """One size in a child `python bench.py` under a hard timeout (default
     100 min — a cold 2^20 compile through the tunnel needs most of that).
-    Returns the child's per-size result dict."""
+    Returns the child's per-size result dict.
+
+    A RESOURCE_EXHAUSTED failure retries ONCE with the split memory plan
+    (MULTISTARK_STAGE_FUSE_LOG/NTT_SPLIT_LOG=21): per-stage NTT programs
+    and per-level tree commits have a much smaller peak live set than the
+    fused whole-stage program, at some dispatch cost."""
     import subprocess
 
     timeout_s = int(os.environ.get("BENCH_SIZE_TIMEOUT", "6000"))
-    env = dict(os.environ)
-    env.update(
-        BENCH_SIZES=str(log_n), BENCH_SUBPROC="0", BENCH_ITERS=str(iters)
-    )
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)],
-        env=env, timeout=timeout_s, capture_output=True, text=True,
-    )
-    for line in out.stderr.splitlines():
-        log(line)
+
+    def attempt(extra_env):
+        env = dict(os.environ)
+        env.update(
+            BENCH_SIZES=str(log_n), BENCH_SUBPROC="0", BENCH_ITERS=str(iters)
+        )
+        env.update(extra_env)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, timeout=timeout_s, capture_output=True, text=True,
+        )
+        for line in out.stderr.splitlines():
+            log(line)
+        return out
+
+    out = attempt({})
+    if out.returncode != 0 and "RESOURCE_EXHAUSTED" in (out.stderr + out.stdout):
+        log(f"[2^{log_n}] RESOURCE_EXHAUSTED on the fused plan; retrying split")
+        out = attempt({
+            "MULTISTARK_STAGE_FUSE_LOG": "21", "MULTISTARK_NTT_SPLIT_LOG": "21",
+        })
+        if out.returncode == 0:
+            payload = json.loads(out.stdout.strip().splitlines()[-1])
+            res = payload["sizes"][f"2^{log_n}"]
+            res["memory_plan"] = "split"
+            return res
     if out.returncode != 0:
         raise RuntimeError(f"size subprocess rc={out.returncode}: {out.stderr[-500:]}")
     payload = json.loads(out.stdout.strip().splitlines()[-1])
