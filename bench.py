@@ -298,16 +298,29 @@ def _run_size_subprocess(log_n: int, iters: int) -> dict:
             log(line)
         return out
 
-    out = attempt({})
+    split_env = {
+        "MULTISTARK_STAGE_FUSE_LOG": "21", "MULTISTARK_NTT_SPLIT_LOG": "21",
+    }
+    # 2^20 on one chip RESOURCE_EXHAUSTs under the fused plan (r5 capture:
+    # DT flush OOM, then host fallback OOM) — start those sizes on the
+    # split plan directly instead of burning a cold compile to rediscover it.
+    split_first = log_n >= int(os.environ.get("BENCH_SPLIT_FIRST_LOG", "20"))
+    out = attempt(split_env if split_first else {})
+    if split_first and out.returncode == 0:
+        payload = json.loads(out.stdout.strip().splitlines()[-1])
+        res = payload["sizes"][f"2^{log_n}"]
+        res["memory_plan"] = "split"
+        return res
     if out.returncode != 0 and "RESOURCE_EXHAUSTED" in (out.stderr + out.stdout):
-        log(f"[2^{log_n}] RESOURCE_EXHAUSTED on the fused plan; retrying split")
-        out = attempt({
-            "MULTISTARK_STAGE_FUSE_LOG": "21", "MULTISTARK_NTT_SPLIT_LOG": "21",
-        })
+        plan, env2 = (
+            ("fused", {}) if split_first else ("split", split_env)
+        )
+        log(f"[2^{log_n}] RESOURCE_EXHAUSTED; retrying on the {plan} plan")
+        out = attempt(env2)
         if out.returncode == 0:
             payload = json.loads(out.stdout.strip().splitlines()[-1])
             res = payload["sizes"][f"2^{log_n}"]
-            res["memory_plan"] = "split"
+            res["memory_plan"] = plan
             return res
     if out.returncode != 0:
         raise RuntimeError(f"size subprocess rc={out.returncode}: {out.stderr[-500:]}")

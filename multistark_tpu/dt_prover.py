@@ -286,6 +286,14 @@ def prove_device_transcript(system, key, witness, claims) -> Optional[object]:
             "host transcript:\n" + traceback.format_exc(limit=5),
             file=sys.stderr,
         )
+        # The handled exception's traceback <-> frame cycle keeps every
+        # device array local to _prove_dt alive until a cyclic GC pass; on
+        # a RESOURCE_EXHAUSTED failure that stranded memory would starve
+        # the host-transcript fallback (observed at 2^20).  Collect now so
+        # the fallback starts from a clean device heap.
+        import gc
+
+        gc.collect()
         return None
 
 
